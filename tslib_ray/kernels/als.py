@@ -53,7 +53,13 @@ class ALSWrapper:
         Stopping rule matches ``alsWrapper.py:70-78``: break when
         ``|err - pastError| < tol`` computed on the masked MSE.
         """
+        # init scale: the reference uses midVal = (max+min)/2
+        # (alsWrapper.py:40-43), which is ~0 for centered/normalized data and
+        # collapses the iteration to all-zeros (pinv(0)=0). Deviation: fall
+        # back to the half-range when the mid-value degenerates.
         mid = 0.5 * (np.max(self.matrix) + np.min(self.matrix))
+        if abs(mid) < 1e-12:
+            mid = 0.5 * (np.max(self.matrix) - np.min(self.matrix)) or 1.0
         U = mid * self.rng.random((self.N, k))
         V = mid * self.rng.random((k, self.M))
 

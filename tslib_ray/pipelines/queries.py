@@ -389,6 +389,100 @@ def q_fingerprint(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# blocked-matrix ops (hdf_util analogue) — SQL-checkable via derived matrices
+# ---------------------------------------------------------------------------
+
+def _lineitem_matrix(sf_dir: str, rows: int = 20, cols: int = 15):
+    """Deterministic small matrix derived from lineitem:
+    A[i,j] = sum(l_quantity) over (l_orderkey%rows, l_partkey%cols)."""
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_quantity"])
+
+    def project(b: pa.Table) -> pa.Table:
+        import numpy as np
+        i = b["l_orderkey"].to_numpy() % rows
+        j = b["l_partkey"].to_numpy() % cols
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "val": b["l_quantity"]})
+
+    out = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby(["i", "j"]).aggregate(Sum("val", alias_name="val"))
+    return out
+
+
+def q_matrix_matmul(sf_dir: str):
+    """A @ A^T of the lineitem-derived matrix (the reference's blocked dot,
+    hdf_util.py:143-245, as broadcast partial products + one shuffle)."""
+    from tslib_ray.stages import matrix as MX
+    A = _lineitem_matrix(sf_dir)
+    At = MX.transpose(A).to_pandas()
+    out = MX.matmul_broadcast(A, At)
+    return _round6(out, cols=["val"])
+
+
+_MATMUL_SQL = """
+    WITH A AS (SELECT l_orderkey % 20 AS i, l_partkey % 15 AS j,
+                      SUM(l_quantity) AS val
+               FROM lineitem GROUP BY 1, 2)
+    SELECT a.i AS i, b.i AS j, ROUND(SUM(a.val * b.val), 6) AS val
+    FROM A a JOIN A b ON a.j = b.j GROUP BY 1, 2"""
+
+
+def q_matrix_add(sf_dir: str):
+    from tslib_ray.stages import matrix as MX
+    A = _lineitem_matrix(sf_dir)
+    B = MX.transpose(_lineitem_matrix(sf_dir, rows=15, cols=20))
+    return _round6(MX.add(A, B), cols=["val"])
+
+
+_MATRIX_ADD_SQL = """
+    WITH A AS (SELECT l_orderkey % 20 AS i, l_partkey % 15 AS j,
+                      SUM(l_quantity) AS val
+               FROM lineitem GROUP BY 1, 2),
+         B AS (SELECT l_orderkey % 15 AS i, l_partkey % 20 AS j,
+                      SUM(l_quantity) AS val
+               FROM lineitem GROUP BY 1, 2)
+    SELECT COALESCE(a.i, b.j) AS i, COALESCE(a.j, b.i) AS j,
+           ROUND(COALESCE(a.val, 0) + COALESCE(b.val, 0), 6) AS val
+    FROM A a FULL OUTER JOIN B b ON a.i = b.j AND a.j = b.i"""
+
+
+# ---------------------------------------------------------------------------
+# synth-control / incremental / multimodal (rows-only)
+# ---------------------------------------------------------------------------
+
+def q_rsc_counterfactual(sf_dir: str):
+    from tslib_ray.sources.panel import synth_panel
+    from tslib_ray.stages.panel import rsc_counterfactuals
+    panel, _ = synth_panel(n_experiments=4, seed=42)
+    return rsc_counterfactuals(rd.from_pandas(panel), "treated", 4,
+                               train_end=30)
+
+
+def q_mrsc_counterfactual(sf_dir: str):
+    from tslib_ray.sources.panel import synth_panel
+    from tslib_ray.stages.panel import rsc_counterfactuals
+    panel, _ = synth_panel(n_metrics=2, n_experiments=2, seed=42)
+    return rsc_counterfactuals(rd.from_pandas(panel), "treated", 4,
+                               train_end=30)
+
+
+def q_incremental_denoise(sf_dir: str):
+    """Per-user incremental TSmodel denoise over the event value stream."""
+    from tslib_ray.stages.incremental import denoise_per_key
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+    return denoise_per_key(ds, "user_id", "event_id", "value",
+                           k=2, L=5, T0=30, rect_factor=3)
+
+
+def q_media_features(sf_dir: str):
+    from tslib_ray.stages.multimodal import media_features, synth_media
+    return media_features(synth_media(256, payload_bytes=2048, seed=42),
+                          concurrency=2)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -408,6 +502,8 @@ QUERIES: dict = {
     "text_stats": (q_text_stats, _TEXT_STATS_SQL),
     "ann_top10": (q_ann_top10, _ANN_SQL),
     "gorilla_roundtrip_1h": (q_gorilla_roundtrip_1h, _ROUNDTRIP_SQL),
+    "matrix_matmul": (q_matrix_matmul, _MATMUL_SQL),
+    "matrix_add": (q_matrix_add, _MATRIX_ADD_SQL),
     # rows-only (non-SQL-expressible) checks
     "gap_fill_linear": (q_gap_fill_linear, None),
     "gorilla_tiles_1h": (q_gorilla_tiles_1h, None),
@@ -418,4 +514,8 @@ QUERIES: dict = {
     "quality_score": (q_quality_score, None),
     "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),
+    "rsc_counterfactual": (q_rsc_counterfactual, None),
+    "mrsc_counterfactual": (q_mrsc_counterfactual, None),
+    "incremental_denoise": (q_incremental_denoise, None),
+    "media_features": (q_media_features, None),
 }

@@ -1,0 +1,99 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata columns
+(``media_type``, ``width``/``height`` or ``sample_rate``/``duration``). The
+decode / feature-extraction kernels are STUBBED (no image/audio libraries in
+this container — clearly marked below); everything Ray-side is real and
+tested: schema, actor-pool stage shape, small batch sizes for wide binary
+rows, Arrow-only batches (binary columns must not round-trip through pandas
+object dtype — ray_guide pitfalls).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..sources.transcripts import _splitmix64
+
+
+def synth_media(n_rows: int, payload_bytes: int = 4096,
+                seed: int = 42) -> "rd.Dataset":
+    """Deterministic fake media table: (media_id, media_type, payload,
+    width, height). Payload bytes are a hash-stream — stands in for real
+    encoded images at the same shuffle/memory cost."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        n_words = payload_bytes // 8
+        payloads = []
+        for i in ids:
+            words = _splitmix64(np.arange(n_words, dtype=np.int64)
+                                + np.int64(i) * 1_000_003 + seed)
+            payloads.append(words.tobytes())
+        mt = np.where(ids % 3 == 0, "image/png",
+                      np.where(ids % 3 == 1, "image/jpeg", "audio/wav"))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(mt),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array((ids % 640 + 32).astype(np.int32)),
+            "height": pa.array((ids % 480 + 32).astype(np.int32)),
+        })
+
+    # small batches: wide binary rows (payload dominates block size)
+    return rd.range(n_rows).map_batches(gen, batch_format="pyarrow",
+                                        batch_size=256)
+
+
+def _decode_image_stub(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB: real implementation would be e.g. PIL/libvips decode. The
+    container has no image libraries, so this raises unless the deterministic
+    fake path is used. Marked per the build contract."""
+    raise NotImplementedError(
+        "image decode requires an image library not present in this "
+        "container; use deterministic_features=True for the fake path")
+
+
+class MediaFeatures:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    ``deterministic_features=True`` (default here) computes real features of
+    the *bytes* (length, byte-histogram entropy, 8-byte-stride moments) —
+    a stand-in with the same plumbing cost as a model forward pass. With
+    ``False`` it calls the decode stub and raises, documenting exactly where
+    a real decoder plugs in.
+    """
+
+    def __init__(self, deterministic_features: bool = True):
+        self.deterministic = deterministic_features
+        # per-actor setup (the "load model once" slot)
+        self.hist_bins = np.arange(257)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.empty((len(batch), 3), dtype=np.float64)
+        payloads = batch["payload"]
+        for i in range(len(batch)):
+            buf = payloads[i].as_py()
+            if not self.deterministic:
+                _decode_image_stub(buf, batch["media_type"][i].as_py())
+            b = np.frombuffer(buf, dtype=np.uint8)
+            hist = np.bincount(b, minlength=256) / max(1, b.size)
+            nz = hist[hist > 0]
+            feats[i] = (b.size, float(-(nz * np.log2(nz)).sum()),
+                        float(b[::8].mean()) if b.size else 0.0)
+        return batch.drop_columns(["payload"]).append_column(
+            "n_bytes", pa.array(feats[:, 0], type=pa.float64())
+        ).append_column(
+            "byte_entropy", pa.array(np.round(feats[:, 1], 6))
+        ).append_column(
+            "stride_mean", pa.array(np.round(feats[:, 2], 6)))
+
+
+def media_features(media: "rd.Dataset", concurrency: int = 2,
+                   batch_size: int = 128) -> "rd.Dataset":
+    """Feature extraction over media payloads (actor pool, Arrow-only)."""
+    return media.map_batches(MediaFeatures, batch_format="pyarrow",
+                             batch_size=batch_size, concurrency=concurrency)

