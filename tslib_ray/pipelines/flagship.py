@@ -142,8 +142,13 @@ def _finer_of(tier: str) -> str:
 
 
 def flagship_from_events(sf_dir: str, tier: str = "1m") -> "rd.Dataset":
-    """Oracle-checkable flagship slice: events -> transcripts (turn_idx,
-    latency) -> per-(conv, bucket) latency rollup at one tier."""
-    tr = transcripts_from_events(sf_dir)
-    pts = R.rollup(tr, ["conv_id"], "ts", "latency_s", tier)
-    return pts
+    """Oracle-checkable flagship slice: events -> per-conversation latency ->
+    tier points, fused into one shuffle (rollup.latency_tiers_from_events)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    pts = R.latency_tiers_from_events(ds, tiers=(tier,))
+    return pts.map_batches(
+        lambda b: b.filter(pc.equal(b["tier"], tier)).drop_columns(["tier"]),
+        batch_format="pyarrow")

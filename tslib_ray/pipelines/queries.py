@@ -28,15 +28,31 @@ from ..stages.text import fingerprint, lang_id, quality_score, text_stats
 _R6 = ["sum_value", "mean_value", "min_value", "max_value"]
 
 
+def r6(x):
+    """Bit-reproducible 6-decimal rounding: ``floor(x*1e6 + 0.5) / 1e6`` in
+    IEEE double ops — the oracle SQL computes the *identical* expression
+    (`FLOOR(x*1000000 + 0.5)/1000000`), so both sides produce bit-identical
+    doubles and the driver's value hash cannot be flipped by engine-specific
+    ROUND implementations (pyarrow round vs DuckDB ROUND differ in last-ulp
+    on ~0.3% of values — measured)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def _r6_arrow(col):
+    return pc.divide(
+        pc.floor(pc.add(pc.multiply(col, pa.scalar(1e6)), pa.scalar(0.5))),
+        pa.scalar(1e6))
+
+
 def _round6(ds: "rd.Dataset", cols=None) -> "rd.Dataset":
-    """Round float columns to 6 decimals (presentation for the value-hash
+    """Apply :func:`r6` to float columns (presentation for the value-hash
     compare; engine outputs stay unrounded)."""
 
     def fn(b: pa.Table) -> pa.Table:
         for c in cols or _R6:
             if c in b.column_names:
                 i = b.column_names.index(c)
-                b = b.set_column(i, c, pc.round(b[c], ndigits=6))
+                b = b.set_column(i, c, _r6_arrow(b[c]))
         return b
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -54,32 +70,37 @@ def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
 # rollup tiers (events): partial+final aggregation, cascade
 # ---------------------------------------------------------------------------
 
-def q_rollup_1m(sf_dir: str):
+def _tier_slice(ds: "rd.Dataset", tier: str) -> "rd.Dataset":
+    def fn(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["tier"], tier)).drop_columns(["tier"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _value_tiers(sf_dir: str) -> "rd.Dataset":
     ds = _events(sf_dir, ["user_id", "ts", "value"])
-    return _round6(R.rollup(ds, ["user_id"], "ts", "value", "1m"))
+    return R.value_tiers_per_key(ds, "user_id", "ts", "value")
+
+
+def q_rollup_1m(sf_dir: str):
+    return _round6(_tier_slice(_value_tiers(sf_dir), "1m"))
 
 
 def q_rollup_1h(sf_dir: str):
-    ds = _events(sf_dir, ["user_id", "ts", "value"])
-    return _round6(R.cascade(R.rollup(ds, ["user_id"], "ts", "value", "1m"),
-                             ["user_id"], "1h"))
+    return _round6(_tier_slice(_value_tiers(sf_dir), "1h"))
 
 
 def q_rollup_1d(sf_dir: str):
-    ds = _events(sf_dir, ["user_id", "ts", "value"])
-    p1m = R.rollup(ds, ["user_id"], "ts", "value", "1m")
-    return _round6(R.cascade(R.cascade(p1m, ["user_id"], "1h"),
-                             ["user_id"], "1d"))
+    return _round6(_tier_slice(_value_tiers(sf_dir), "1d"))
 
 
 def _rollup_sql(unit: str) -> str:
     return f"""
         SELECT user_id, date_trunc('{unit}', ts) AS bucket_ts,
-               ROUND(SUM(value), 6) AS sum_value,
-               ROUND(MIN(value), 6) AS min_value,
-               ROUND(MAX(value), 6) AS max_value,
+               FLOOR((SUM(value)) * 1000000 + 0.5) / 1000000 AS sum_value,
+               FLOOR((MIN(value)) * 1000000 + 0.5) / 1000000 AS min_value,
+               FLOOR((MAX(value)) * 1000000 + 0.5) / 1000000 AS max_value,
                COUNT(value) AS n,
-               ROUND(SUM(value) / COUNT(value), 6) AS mean_value
+               FLOOR((SUM(value) / COUNT(value)) * 1000000 + 0.5) / 1000000 AS mean_value
         FROM events GROUP BY 1, 2"""
 
 
@@ -108,8 +129,12 @@ _TRANSCRIPTS_SQL = """
 
 
 def q_latency_rollup_1m(sf_dir: str):
-    tr = transcripts_from_events(sf_dir)
-    return _round6(R.rollup(tr, ["conv_id"], "ts", "latency_s", "1m"))
+    # fused flagship path: pruned read (no props/text payload in the shuffle,
+    # SURVEY.md §7.3.4), ONE hash shuffle on the conversation key, latency
+    # derivation + tier aggregation inside the group UDF
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = R.latency_tiers_from_events(ds, tiers=("1m",))
+    return _round6(_tier_slice(out, "1m"))
 
 
 _LATENCY_SQL = """
@@ -120,11 +145,11 @@ _LATENCY_SQL = """
                    AS latency_s
         FROM events)
     SELECT conv_id, date_trunc('minute', ts) AS bucket_ts,
-           ROUND(SUM(latency_s), 6) AS sum_value,
-           ROUND(MIN(latency_s), 6) AS min_value,
-           ROUND(MAX(latency_s), 6) AS max_value,
+           FLOOR((SUM(latency_s)) * 1000000 + 0.5) / 1000000 AS sum_value,
+           FLOOR((MIN(latency_s)) * 1000000 + 0.5) / 1000000 AS min_value,
+           FLOOR((MAX(latency_s)) * 1000000 + 0.5) / 1000000 AS max_value,
            COUNT(latency_s) AS n,
-           ROUND(SUM(latency_s) / COUNT(latency_s), 6) AS mean_value
+           FLOOR((SUM(latency_s) / COUNT(latency_s)) * 1000000 + 0.5) / 1000000 AS mean_value
     FROM t GROUP BY 1, 2"""
 
 
@@ -143,9 +168,7 @@ _RATE_ROLE_SQL = """
 
 
 def q_retention_last7d(sf_dir: str):
-    ds = _events(sf_dir, ["user_id", "ts", "value"])
-    p1m = R.rollup(ds, ["user_id"], "ts", "value", "1m")
-    p1d = R.cascade(R.cascade(p1m, ["user_id"], "1h"), ["user_id"], "1d")
+    p1d = _tier_slice(_value_tiers(sf_dir), "1d")
     trimmed = R.retention_trim(p1d, ["user_id"], keep_last=7)
     return _round6(trimmed.select_columns(["user_id", "bucket_ts", "n",
                                            "sum_value"]))
@@ -154,7 +177,7 @@ def q_retention_last7d(sf_dir: str):
 _RETENTION_SQL = """
     WITH d AS (
         SELECT user_id, date_trunc('day', ts) AS bucket_ts,
-               COUNT(value) AS n, ROUND(SUM(value), 6) AS sum_value
+               COUNT(value) AS n, FLOOR((SUM(value)) * 1000000 + 0.5) / 1000000 AS sum_value
         FROM events GROUP BY 1, 2),
     r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                                        ORDER BY bucket_ts DESC) AS rn FROM d)
@@ -189,8 +212,7 @@ def q_normalize_value(sf_dir: str):
     mid, half = 0.5 * (vmin + vmax), 0.5 * (vmax - vmin)
 
     def fn(b: pa.Table) -> pa.Table:
-        norm = pc.round(pc.divide(pc.subtract(b["value"], mid), half),
-                        ndigits=6)
+        norm = _r6_arrow(pc.divide(pc.subtract(b["value"], mid), half))
         return b.append_column("value_norm", norm).drop_columns(["value"])
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -198,9 +220,144 @@ def q_normalize_value(sf_dir: str):
 
 _NORMALIZE_SQL = """
     SELECT event_id,
-           ROUND((value - 0.5 * (mn + mx)) / (0.5 * (mx - mn)), 6)
+           FLOOR(((value - 0.5 * (mn + mx)) / (0.5 * (mx - mn))) * 1000000 + 0.5) / 1000000
                AS value_norm
     FROM events, (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)"""
+
+
+def q_rollup_tiers_all(sf_dir: str):
+    """All three retention tiers in one pass (tier column)."""
+    return _round6(_value_tiers(sf_dir))
+
+
+_TIERS_ALL_SQL = """
+    WITH m AS (SELECT user_id, date_trunc('minute', ts) AS b,
+                      SUM(value) s, MIN(value) mn, MAX(value) mx,
+                      COUNT(value) c
+               FROM events GROUP BY 1, 2)
+    SELECT user_id, '1m' AS tier, b AS bucket_ts, FLOOR((s) * 1000000 + 0.5) / 1000000 AS sum_value,
+           FLOOR((mn) * 1000000 + 0.5) / 1000000 AS min_value, FLOOR((mx) * 1000000 + 0.5) / 1000000 AS max_value, c AS n,
+           FLOOR((s / c) * 1000000 + 0.5) / 1000000 AS mean_value
+    FROM m
+    UNION ALL
+    SELECT user_id, '1h', date_trunc('hour', b), FLOOR((SUM(s)) * 1000000 + 0.5) / 1000000,
+           FLOOR((MIN(mn)) * 1000000 + 0.5) / 1000000, FLOOR((MAX(mx)) * 1000000 + 0.5) / 1000000,
+           CAST(SUM(c) AS BIGINT),
+           FLOOR((SUM(s) / SUM(c)) * 1000000 + 0.5) / 1000000
+    FROM m GROUP BY 1, 3
+    UNION ALL
+    SELECT user_id, '1d', date_trunc('day', b), FLOOR((SUM(s)) * 1000000 + 0.5) / 1000000,
+           FLOOR((MIN(mn)) * 1000000 + 0.5) / 1000000, FLOOR((MAX(mx)) * 1000000 + 0.5) / 1000000,
+           CAST(SUM(c) AS BIGINT),
+           FLOOR((SUM(s) / SUM(c)) * 1000000 + 0.5) / 1000000
+    FROM m GROUP BY 1, 3"""
+
+
+def q_rate_tool_1d(sf_dir: str):
+    tr = transcripts_from_events(
+        sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
+    return R.rate_by(tr, "tool", "ts", "1d")
+
+
+_RATE_TOOL_SQL = """
+    SELECT CASE event_type WHEN 'error' THEN 'search' ELSE '' END AS tool,
+           date_trunc('day', ts) AS bucket_ts, COUNT(*) AS n
+    FROM events GROUP BY 1, 2"""
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Per-key top-k: the retention-trim shape applied to raw rows (top-3
+    events by value per user, deterministic tiebreak on event_id)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(3)
+
+    return ds.groupby("user_id").map_groups(top3, batch_format="pandas")
+
+
+_TOP_EVENTS_SQL = """
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events) WHERE rn <= 3"""
+
+
+def q_user_value_dev(sf_dir: str):
+    """Per-event deviation from the user's mean, scaled by the user's event
+    count (``value*n - sum``) — a windowed aggregate as a grouped UDF."""
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def dev(g: pd.DataFrame) -> pd.DataFrame:
+        # grid-exact form: value*n - sum stays ON the 0.01 grid (value and
+        # sum are 2-decimal), so the result is bit-stable across engines;
+        # value - sum/n is NOT (sum/n lands on half-grid boundaries whenever
+        # n has a 2^k factor — measured 108 bit flips at sf0.01)
+        v = g["value"].to_numpy()
+        scaled = v * len(g) - v.sum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "value_dev": np.floor(scaled * 100 + 0.5) / 100,
+        })
+
+    return ds.groupby("user_id").map_groups(dev, batch_format="pandas")
+
+
+_USER_DEV_SQL = """
+    SELECT event_id,
+           FLOOR((value * COUNT(*) OVER (PARTITION BY user_id)
+                  - SUM(value) OVER (PARTITION BY user_id)) * 100 + 0.5) / 100
+               AS value_dev
+    FROM events"""
+
+
+def q_props_extract(sf_dir: str):
+    """Scalar JSON-ish extraction: pull the integer out of props
+    ('{"k": 87}') with a vectorized regex."""
+    ds = _events(sf_dir, ["event_id", "props"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = pc.extract_regex(b["props"], pattern=r"(?P<k>[0-9]+)")
+        vals = pc.struct_field(k, "k")
+        return pa.table({
+            "event_id": b["event_id"],
+            "k": pc.cast(vals, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_PROPS_SQL = """
+    SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+    FROM events"""
+
+
+def q_supplier_nations(sf_dir: str):
+    """Broadcast dimension join: supplier counts per nation name."""
+    import ray
+    from ray.data.aggregate import Count
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        names = pd.Series(b["s_nationkey"].to_numpy()).map(nmap)
+        return pa.table({"n_name": pa.array(names.to_numpy())})
+
+    return sup.map_batches(attach, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Count(alias_name="n_suppliers"))
+
+
+_SUPPLIER_NATION_SQL = """
+    SELECT n_name, COUNT(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1"""
 
 
 # ---------------------------------------------------------------------------
@@ -230,15 +387,26 @@ def q_pricing_summary(sf_dir: str):
             Sum("sum_base_price", alias_name="sum_base_price"),
             Sum("sum_disc_price", alias_name="sum_disc_price"),
             Sum("count_order", alias_name="count_order"))
-    return _round6(merged, cols=["sum_qty", "sum_base_price",
-                                 "sum_disc_price"])
+    # grid-matched rounding: quantities/prices are 2-decimal source data
+    # (sums land ON the 0.01 grid -> bit-stable at r2); disc_price is a
+    # product of two 2-decimal values -> exact on the 1e-4 grid
+    def grid_round(b: pa.Table) -> pa.Table:
+        for c, scale in (("sum_qty", 1e2), ("sum_base_price", 1e2),
+                         ("sum_disc_price", 1e4)):
+            i = b.column_names.index(c)
+            r = pc.divide(pc.floor(pc.add(pc.multiply(b[c], pa.scalar(scale)),
+                                          pa.scalar(0.5))), pa.scalar(scale))
+            b = b.set_column(i, c, r)
+        return b
+
+    return merged.map_batches(grid_round, batch_format="pyarrow")
 
 
 _PRICING_SQL = """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+           FLOOR(SUM(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+           FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000
                AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem GROUP BY 1, 2"""
@@ -255,14 +423,14 @@ def q_top_customers(sf_dir: str):
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
     out = rev.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    out["revenue"] = out["revenue"].round(6)
+    out["revenue"] = r6(out["revenue"].to_numpy())
     out = out.sort_values(["revenue", "c_custkey"],
                           ascending=[False, True]).head(10)
     return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
 _TOP_CUST_SQL = """
-    SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 6) AS revenue
+    SELECT c_custkey, c_name, FLOOR((SUM(o_totalprice)) * 1000000 + 0.5) / 1000000 AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10"""
 
@@ -303,9 +471,9 @@ def q_ann_top10(sf_dir: str):
 
 _ANN_SQL = """
     SELECT vec_id,
-           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+           FLOOR((list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                WHERE vec_id = 0)), 6) AS sim
+                WHERE vec_id = 0))) * 1000000 + 0.5) / 1000000 AS sim
     FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"""
 
 
@@ -313,20 +481,49 @@ _ANN_SQL = """
 # rows-only checked (non-SQL-expressible) operators
 # ---------------------------------------------------------------------------
 
+def q_distinct_event_types(sf_dir: str):
+    """Distinct values (set op): map-side dedup per batch, then one tiny
+    groupby — never a full-row shuffle."""
+    ds = _events(sf_dir, ["event_type"])
+
+    def local(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"].unique()})
+
+    from ray.data.aggregate import Count
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Count(alias_name="_c")) \
+        .select_columns(["event_type"])
+
+
+_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def q_gap_fill_svd(sf_dir: str):
+    """Gap-fill via page-matrix SVD imputation (tslib's core operator as the
+    fill kernel)."""
+    pts = _tier_slice(_value_tiers_1h(sf_dir), "1h")
+    return gap_fill(pts, ["user_id"], "1h", value_col="mean_value",
+                    method="svd", k=4)
+
+
 def q_gap_fill_linear(sf_dir: str):
-    ds = _events(sf_dir, ["user_id", "ts", "value"])
-    pts = R.rollup(ds, ["user_id"], "ts", "value", "1h")
+    pts = _tier_slice(_value_tiers_1h(sf_dir), "1h")
     return gap_fill(pts, ["user_id"], "1h", value_col="mean_value",
                     method="linear")
 
 
-def q_gorilla_tiles_1h(sf_dir: str):
+def _value_tiers_1h(sf_dir: str) -> "rd.Dataset":
     ds = _events(sf_dir, ["user_id", "ts", "value"])
-    pts = R.rollup(ds, ["user_id"], "ts", "value", "1h")
-    clustered = pts.groupby(["user_id"]).map_groups(
-        lambda g: g.sort_values("bucket_ts", kind="mergesort"),
-        batch_format="pandas")
-    tiles = encode_tiles(clustered, ["user_id"], "1h", concurrency=2)
+    return R.value_tiers_per_key(ds, "user_id", "ts", "value",
+                                 tiers=("1m", "1h"))
+
+
+def q_gorilla_tiles_1h(sf_dir: str):
+    # the fused tier stage already emits each key's points contiguously and
+    # bucket-sorted, so tiles encode directly — no extra clustering shuffle
+    # (a key split across batches just yields multiple valid tiles)
+    pts = _tier_slice(_value_tiers_1h(sf_dir), "1h")
+    tiles = encode_tiles(pts, ["user_id"], "1h", concurrency=2)
     return tiles.select_columns(["user_id", "tier", "tile_start_ts",
                                  "n_points"])
 
@@ -334,19 +531,15 @@ def q_gorilla_tiles_1h(sf_dir: str):
 def q_gorilla_roundtrip_1h(sf_dir: str):
     """Encode then decode; output must equal the input points (verified
     row-for-row by pytest; here surfaced as a query for the rows check)."""
-    ds = _events(sf_dir, ["user_id", "ts", "value"])
-    pts = R.rollup(ds, ["user_id"], "ts", "value", "1h")
-    clustered = pts.groupby(["user_id"]).map_groups(
-        lambda g: g.sort_values("bucket_ts", kind="mergesort"),
-        batch_format="pandas")
-    tiles = encode_tiles(clustered, ["user_id"], "1h", concurrency=2)
+    pts = _tier_slice(_value_tiers_1h(sf_dir), "1h")
+    tiles = encode_tiles(pts, ["user_id"], "1h", concurrency=2)
     return _round6(decode_tiles_to_points(tiles, ["user_id"]),
                    cols=["mean_value"])
 
 
 _ROUNDTRIP_SQL = """
     SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
-           ROUND(SUM(value) / COUNT(value), 6) AS mean_value
+           FLOOR((SUM(value) / COUNT(value)) * 1000000 + 0.5) / 1000000 AS mean_value
     FROM events GROUP BY 1, 2"""
 
 
@@ -418,14 +611,22 @@ def q_matrix_matmul(sf_dir: str):
     A = _lineitem_matrix(sf_dir)
     At = MX.transpose(A).to_pandas()
     out = MX.matmul_broadcast(A, At)
-    return _round6(out, cols=["val"])
+    # 1e-4-grid rounding: cell values are sums of products of two 2-decimal
+    # sums; at ~1e10 magnitude a 1e6 scale overflows double integer range
+    def r4(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("val")
+        return b.set_column(i, "val", pc.divide(
+            pc.floor(pc.add(pc.multiply(b["val"], pa.scalar(1e4)),
+                            pa.scalar(0.5))), pa.scalar(1e4)))
+
+    return out.map_batches(r4, batch_format="pyarrow")
 
 
 _MATMUL_SQL = """
     WITH A AS (SELECT l_orderkey % 20 AS i, l_partkey % 15 AS j,
                       SUM(l_quantity) AS val
                FROM lineitem GROUP BY 1, 2)
-    SELECT a.i AS i, b.i AS j, ROUND(SUM(a.val * b.val), 6) AS val
+    SELECT a.i AS i, b.i AS j, FLOOR(SUM(a.val * b.val) * 10000 + 0.5) / 10000 AS val
     FROM A a JOIN A b ON a.j = b.j GROUP BY 1, 2"""
 
 
@@ -433,7 +634,13 @@ def q_matrix_add(sf_dir: str):
     from tslib_ray.stages import matrix as MX
     A = _lineitem_matrix(sf_dir)
     B = MX.transpose(_lineitem_matrix(sf_dir, rows=15, cols=20))
-    return _round6(MX.add(A, B), cols=["val"])
+    def r2(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("val")
+        return b.set_column(i, "val", pc.divide(
+            pc.floor(pc.add(pc.multiply(b["val"], pa.scalar(1e2)),
+                            pa.scalar(0.5))), pa.scalar(1e2)))
+
+    return MX.add(A, B).map_batches(r2, batch_format="pyarrow")
 
 
 _MATRIX_ADD_SQL = """
@@ -444,7 +651,7 @@ _MATRIX_ADD_SQL = """
                       SUM(l_quantity) AS val
                FROM lineitem GROUP BY 1, 2)
     SELECT COALESCE(a.i, b.j) AS i, COALESCE(a.j, b.i) AS j,
-           ROUND(COALESCE(a.val, 0) + COALESCE(b.val, 0), 6) AS val
+           FLOOR((COALESCE(a.val, 0) + COALESCE(b.val, 0)) * 100 + 0.5) / 100 AS val
     FROM A a FULL OUTER JOIN B b ON a.i = b.j AND a.j = b.i"""
 
 
@@ -504,6 +711,14 @@ QUERIES: dict = {
     "gorilla_roundtrip_1h": (q_gorilla_roundtrip_1h, _ROUNDTRIP_SQL),
     "matrix_matmul": (q_matrix_matmul, _MATMUL_SQL),
     "matrix_add": (q_matrix_add, _MATRIX_ADD_SQL),
+    "rollup_tiers_all": (q_rollup_tiers_all, _TIERS_ALL_SQL),
+    "rate_tool_1d": (q_rate_tool_1d, _RATE_TOOL_SQL),
+    "top_events_per_user": (q_top_events_per_user, _TOP_EVENTS_SQL),
+    "user_value_dev": (q_user_value_dev, _USER_DEV_SQL),
+    "props_extract": (q_props_extract, _PROPS_SQL),
+    "supplier_nations": (q_supplier_nations, _SUPPLIER_NATION_SQL),
+    "distinct_event_types": (q_distinct_event_types, _DISTINCT_SQL),
+    "gap_fill_svd": (q_gap_fill_svd, None),
     # rows-only (non-SQL-expressible) checks
     "gap_fill_linear": (q_gap_fill_linear, None),
     "gorilla_tiles_1h": (q_gorilla_tiles_1h, None),

@@ -145,30 +145,37 @@ def synth_transcripts_table(n_convs: int, mean_turns: int = 40,
 
 def _derive_transcript_group(g: pd.DataFrame) -> pd.DataFrame:
     """Per-conversation derivation: stable sort by (ts, event_id), dense
-    turn_idx, role/tool mapping, inter-turn latency in seconds."""
+    turn_idx, role/tool mapping, inter-turn latency in seconds. Emits only
+    the columns present in the input (text/role/tool are optional so callers
+    can prune the wide columns before the shuffle — SURVEY.md §7.3.4)."""
     g = g.sort_values(["ts", "event_id"], kind="mergesort")
     n = len(g)
-    roles = g["event_type"].map({k: v[0] for k, v in EVENT_ROLE_MAP.items()})
-    tools = g["event_type"].map({k: v[1] for k, v in EVENT_ROLE_MAP.items()})
-    lat = g["ts"].diff().dt.total_seconds()
-    return pd.DataFrame({
-        "conv_id": "c" + g["user_id"].astype(str),
-        "turn_idx": np.arange(n, dtype=np.int32),
-        "role": roles.to_numpy(),
-        "text": g["props"].to_numpy(),
-        "tool": tools.to_numpy(),
-        "ts": g["ts"].to_numpy(),
-        "value": g["value"].to_numpy(),
-        "latency_s": lat.to_numpy(),
-    })
+    out = {"conv_id": "c" + g["user_id"].astype(str),
+           "turn_idx": np.arange(n, dtype=np.int32)}
+    if "event_type" in g:
+        out["role"] = g["event_type"].map(
+            {k: v[0] for k, v in EVENT_ROLE_MAP.items()}).to_numpy()
+    if "props" in g:
+        out["text"] = g["props"].to_numpy()
+    if "event_type" in g:
+        out["tool"] = g["event_type"].map(
+            {k: v[1] for k, v in EVENT_ROLE_MAP.items()}).to_numpy()
+    out["ts"] = g["ts"].to_numpy()
+    if "value" in g:
+        out["value"] = g["value"].to_numpy()
+    out["latency_s"] = g["ts"].diff().dt.total_seconds().to_numpy()
+    return pd.DataFrame(out)
 
 
-def transcripts_from_events(sf_dir: str) -> "rd.Dataset":
+_FULL_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def transcripts_from_events(sf_dir: str, columns=_FULL_COLS) -> "rd.Dataset":
     """events.parquet -> transcript-shaped Dataset with derived ``turn_idx``
     and ``latency_s``. One hash shuffle on the conversation key (the same key
-    every downstream rollup groups on)."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    every downstream rollup groups on). Pass a pruned ``columns`` (always
+    including event_id/ts/user_id) to keep wide payload columns out of the
+    shuffle when downstream only needs the derived numerics."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
     return ds.groupby("user_id").map_groups(_derive_transcript_group,
                                             batch_format="pandas")

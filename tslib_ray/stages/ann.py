@@ -57,7 +57,7 @@ def knn_brute(embeddings: "rd.Dataset", queries: np.ndarray, k: int = 10,
         return pa.table({
             "query_idx": pa.array(qi, type=pa.int32()),
             id_col: pa.array(ids[vi]),
-            "sim": pa.array(np.round(sims[qi, vi], 6)),
+            "sim": pa.array(np.floor(sims[qi, vi] * 1e6 + 0.5) / 1e6),
         })
 
     cand = embeddings.map_batches(local_topk, batch_format="pyarrow").to_pandas()
@@ -120,7 +120,7 @@ def knn_ivf(embeddings: "rd.Dataset", queries: np.ndarray, k: int = 10,
             tables.append(pa.table({
                 "query_idx": pa.array(np.full(kk, qi, dtype=np.int32)),
                 id_col: pa.array(ids[sel][top]),
-                "sim": pa.array(np.round(sims[top], 6)),
+                "sim": pa.array(np.floor(sims[top] * 1e6 + 0.5) / 1e6),
             }))
         if not tables:
             return pa.table({"query_idx": pa.array([], type=pa.int32()),

@@ -30,21 +30,40 @@ _U64 = np.uint64
 _MERSENNE = (1 << 61) - 1
 
 
-def _token_shingles(text: str, k: int) -> np.ndarray:
-    toks = text.split(" ")
-    if len(toks) < k:
-        return np.array([hash_bytes(" ".join(toks).encode())], dtype=np.uint64)
-    joined = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.fromiter((hash_bytes(s.encode()) for s in joined),
-                                 dtype=np.uint64, count=len(joined)))
-
-
 def hash_bytes(b: bytes) -> int:
-    """Deterministic 64-bit FNV-1a (PYTHONHASHSEED-independent)."""
-    h = 0xCBF29CE484222325
-    for byte in b:
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit content hash (C-speed blake2b;
+    PYTHONHASHSEED-independent — never use built-in ``hash`` in distributed
+    code, it is salted per process)."""
+    import hashlib
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Per-token 64-bit hashes (crc32 of token ^ crc32 of reversed token —
+    two C-speed passes, vectorized combine)."""
+    import zlib
+    toks = text.split(" ")
+    lo = np.fromiter((zlib.crc32(t.encode()) for t in toks),
+                     dtype=np.uint64, count=len(toks))
+    hi = np.fromiter((zlib.crc32(t[::-1].encode()) for t in toks),
+                     dtype=np.uint64, count=len(toks))
+    return (hi << np.uint64(32)) | lo
+
+
+def _token_shingles(text: str, k: int) -> np.ndarray:
+    """Unique k-token shingle hashes via a vectorized polynomial combine of
+    per-token hashes (no per-shingle string joins)."""
+    th = _token_hashes(text)
+    if th.size < k:
+        h = np.uint64(0xCBF29CE484222325)
+        for x in th:
+            h = h * np.uint64(0x100000001B3) ^ x
+        return np.array([h], dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    out = th[: th.size - k + 1].copy()
+    for j in range(1, k):
+        out = out * P ^ th[j: th.size - k + 1 + j]
+    return np.unique(out)
 
 
 def dedup_exact(docs: "rd.Dataset", text_col: str = "text",
@@ -195,9 +214,7 @@ class SimHasher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         def simhash(text: str) -> int:
-            toks = text.split(" ")
-            hs = np.fromiter((hash_bytes(t.encode()) for t in toks),
-                             dtype=np.uint64, count=len(toks))
+            hs = _token_hashes(text)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1))
             counts = bits.astype(np.int64).sum(axis=0)
             vote = (counts * 2) > len(hs)

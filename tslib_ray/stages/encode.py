@@ -87,17 +87,28 @@ class GorillaEncoder:
 def encode_tiles(points: "rd.Dataset", keys, tier: str,
                  ts_col: str = "bucket_ts", value_col: str = "mean_value",
                  concurrency: int = 4, batch_size: int = 32768,
-                 max_points_per_tile: int = 4096) -> "rd.Dataset":
+                 max_points_per_tile: int = 4096,
+                 use_actors: bool = False) -> "rd.Dataset":
     """Gorilla-encode tier points into per-key tiles.
 
     Callers must ensure each key's points are clustered (output of a
     ``groupby(keys)`` stage already is); a key whose points span batch
     boundaries yields multiple valid tiles rather than corrupt ones —
     decode-concatenation reconstructs the full series either way.
+
+    The Gorilla codec holds no trained state, so the default is stateless
+    map tasks (elastic, no pool-spinup latency). ``use_actors=True`` switches
+    to an actor pool — the shape a codec with per-actor setup cost (trained
+    dictionaries, loaded models) needs; pool size is clamped below the
+    cluster CPU count so producers can't starve.
     """
     keys = list(keys)
-    # pool sizing: never reserve every cluster CPU or the producing stages
-    # starve and the pipeline deadlocks (ray_guide: actor pools)
+    if not use_actors:
+        enc = GorillaEncoder(keys=keys, tier=tier, ts_col=ts_col,
+                             value_col=value_col,
+                             max_points_per_tile=max_points_per_tile)
+        return points.map_batches(enc, batch_format="pyarrow",
+                                  batch_size=batch_size)
     try:
         import ray
         avail = int(ray.cluster_resources().get("CPU", concurrency + 1))
