@@ -481,6 +481,98 @@ _ANN_SQL = """
 # rows-only checked (non-SQL-expressible) operators
 # ---------------------------------------------------------------------------
 
+def q_role_rollup_per_conv(sf_dir: str):
+    """Per-(conversation, role, day) turn counts — the F6 ``n_by_role``
+    continuous aggregate, via map-side pyarrow partials + one shuffle."""
+    from ray.data.aggregate import Sum
+    tr = transcripts_from_events(
+        sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.append_column("bucket_ts", R.floor_bucket(b["ts"], "1d"))
+        out = b.group_by(["conv_id", "role", "bucket_ts"]).aggregate(
+            [("role", "count")])
+        return out.rename_columns(["conv_id", "role", "bucket_ts", "n"])
+
+    merged = tr.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["conv_id", "role", "bucket_ts"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def fix_unit(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("bucket_ts")
+        return b.set_column(i, "bucket_ts",
+                            pc.cast(b["bucket_ts"], pa.timestamp("us")))
+
+    return merged.map_batches(fix_unit, batch_format="pyarrow")
+
+
+_ROLE_PER_CONV_SQL = """
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           CASE event_type WHEN 'error' THEN 'tool'
+                           WHEN 'purchase' THEN 'assistant'
+                           ELSE 'user' END AS role,
+           date_trunc('day', ts) AS bucket_ts, COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3"""
+
+
+def q_text_integrity(sf_dir: str):
+    """Per-turn text-equality invariant (BASELINE.json input_hint): the text
+    column never travels through the rollup shuffles — its integrity is
+    verified by a narrow hash path: (conv_id, turn_idx, md5(text)) computed
+    after the conversation shuffle must equal the oracle's row-level hash."""
+    import hashlib
+    tr = transcripts_from_events(sf_dir)
+
+    def h(b: pd.DataFrame) -> pd.DataFrame:
+        b["text_md5"] = b["text"].map(
+            lambda t: hashlib.md5(t.encode()).hexdigest())
+        return b[["conv_id", "turn_idx", "text_md5"]]
+
+    return tr.map_batches(h, batch_format="pandas")
+
+
+_TEXT_INTEGRITY_SQL = """
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) - 1 AS INTEGER)
+               AS turn_idx,
+           md5(props) AS text_md5
+    FROM events"""
+
+
+def q_forecast_per_user(sf_dir: str):
+    """Rolling one-step forecasts per user over the event value series
+    (tslib SVDModel.predict semantics, ``tsSVDModel.py:250-284``): fit on the
+    first part of each series, then forecast the tail point-by-point feeding
+    realized values. Rows-only (not SQL-expressible)."""
+    from tslib_ray.kernels.tsmodel import SVDModel
+
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        v = g["value"].to_numpy(dtype=np.float64)
+        N = 5
+        n_test = max(1, v.size // 10)
+        train = v[: v.size - n_test]
+        M = train.size // N
+        if M < 2 * N:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "event_id": pd.Series([], dtype=np.int64),
+                                 "forecast": pd.Series([], dtype=np.float64),
+                                 "actual": pd.Series([], dtype=np.float64)})
+        model = SVDModel("s", 3, N, M).fit({"s": train[: N * M]})
+        ids = g["event_id"].to_numpy()
+        rows = []
+        for i in range(v.size - n_test, v.size):
+            pred = model.predict({}, {"s": v[i - N + 1: i]})
+            rows.append((g["user_id"].iloc[0], ids[i], pred, v[i]))
+        return pd.DataFrame(rows, columns=["user_id", "event_id",
+                                           "forecast", "actual"])
+
+    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values (set op): map-side dedup per batch, then one tiny
     groupby — never a full-row shuffle."""
@@ -718,7 +810,10 @@ QUERIES: dict = {
     "props_extract": (q_props_extract, _PROPS_SQL),
     "supplier_nations": (q_supplier_nations, _SUPPLIER_NATION_SQL),
     "distinct_event_types": (q_distinct_event_types, _DISTINCT_SQL),
+    "role_rollup_per_conv": (q_role_rollup_per_conv, _ROLE_PER_CONV_SQL),
+    "text_integrity": (q_text_integrity, _TEXT_INTEGRITY_SQL),
     "gap_fill_svd": (q_gap_fill_svd, None),
+    "forecast_per_user": (q_forecast_per_user, None),
     # rows-only (non-SQL-expressible) checks
     "gap_fill_linear": (q_gap_fill_linear, None),
     "gorilla_tiles_1h": (q_gorilla_tiles_1h, None),
