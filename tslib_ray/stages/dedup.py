@@ -115,11 +115,51 @@ class MinHasher:
         hx = (np.multiply.outer(self.a, x) + self.b[:, None]) % _U64(_MERSENNE)
         return hx.min(axis=1)
 
+    def _batch_signatures(self, texts: pd.Series) -> np.ndarray:
+        """Vectorized signatures for a whole batch: hash every token once
+        (pd.util.hash_array — deterministic siphash), combine k-grams with a
+        polynomial rolling hash masked at document boundaries, then one
+        segmented min (np.minimum.reduceat) per permutation. No per-document
+        Python beyond the initial split."""
+        tok_lists = texts.str.split(" ")
+        lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate(tok_lists.to_numpy())
+        th = pd.util.hash_array(flat.astype(object))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        k = self.k
+        P = _U64(1099511628211)
+        S = th.size
+        if S == 0:
+            return np.full((len(texts), self.num_perm), _MERSENNE,
+                           dtype=np.uint64)
+        # rolling k-gram combine at EVERY token position (padded tail), so
+        # doc d owns exactly the segment [starts[d], ends[d]) of sh
+        th_pad = np.concatenate([th, np.zeros(k - 1, dtype=np.uint64)])
+        sh = th_pad[:S].copy()
+        for j in range(1, k):
+            sh = sh * P ^ th_pad[j: j + S]
+        # windows whose k tokens cross the doc's end are invalid
+        doc_of = np.repeat(np.arange(lens.size), lens)
+        valid = (np.arange(S) + k) <= ends[doc_of]
+        # docs shorter than k: no valid window — use the whole-doc combined
+        # hash at the doc's first position (rare; tiny python loop)
+        for d in np.flatnonzero(lens < k):
+            h = np.uint64(0xCBF29CE484222325)
+            for x in th[starts[d]: ends[d]]:
+                h = h * _U64(0x100000001B3) ^ x
+            sh[starts[d]] = h
+            valid[starts[d]] = True
+        x = sh % _U64(_MERSENNE)
+        sigs = np.empty((lens.size, self.num_perm), dtype=np.uint64)
+        for p in range(self.num_perm):
+            hp = (self.a[p] * x + self.b[p]) % _U64(_MERSENNE)
+            hp = np.where(valid, hp, _U64(_MERSENNE))
+            sigs[:, p] = np.minimum.reduceat(hp, starts)
+        return sigs
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.vstack([
-            self.signature(_token_shingles(t, self.k))
-            for t in batch["text"]
-        ])
+        sigs = self._batch_signatures(batch["text"])
         out = {
             "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
             "band": np.tile(np.arange(self.bands, dtype=np.int32),
@@ -146,22 +186,37 @@ def minhash_lsh_candidates(docs: "rd.Dataset", num_perm: int = 64,
                                               bands=bands),
         batch_format="pandas", concurrency=concurrency)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "dup_root": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"doc_id": ids[1:], "dup_root": ids[0]})
+    # partition-level UDFs (hash-bucket the LSH key, vectorized pandas
+    # groupby inside) — per-bucket map_groups would pay Python overhead per
+    # LSH bucket (bands x docs of them)
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b["_part"] = (b["band_hash"].to_numpy() % np.uint64(32)).astype(np.int32)
+        return b
 
-    pairs = sig.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+        root = g.groupby(["band", "band_hash"], sort=False)[
+            "doc_id"].transform("min")
+        sel = (g["doc_id"] != root).to_numpy()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy()[sel],
+                             "dup_root": root.to_numpy()[sel]})
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": g["doc_id"].iloc[:1],
-                             "dup_root": [g["dup_root"].min()]})
+    pairs = sig.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(bucket_pairs_part, batch_format="pandas")
 
-    return pairs.groupby("doc_id").map_groups(dedup_pairs,
-                                              batch_format="pandas")
+    def reduce_roots_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False, sort=True)["dup_root"].min()
+        return out
+
+    def part_by_doc(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", "dup_root"]].copy()
+        b["_part"] = (b["doc_id"].to_numpy() % 32).astype(np.int32)
+        return b
+
+    return pairs.map_batches(part_by_doc, batch_format="pandas") \
+        .groupby("_part").map_groups(
+            lambda g: reduce_roots_part(g.drop(columns=["_part"])),
+            batch_format="pandas")
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -245,21 +300,39 @@ def dedup_simhash(docs: "rd.Dataset", max_hamming: int = 3,
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy(dtype=np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        rows = []
-        for i in range(1, len(ids)):
-            x = int(sh[i] ^ sh[0])
-            if bin(x).count("1") <= max_hamming:
-                rows.append((ids[i], ids[0]))
-        return pd.DataFrame(rows, columns=["doc_id", "dup_root"],
-                            dtype=np.int64)
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b["_part"] = (b["band_key"].to_numpy(dtype=np.uint64)
+                      % np.uint64(32)).astype(np.int32)
+        return b
 
-    return exploded.groupby(["band", "band_key"]).map_groups(
-        verify, batch_format="pandas").groupby("doc_id").map_groups(
-        lambda g: pd.DataFrame({"doc_id": g["doc_id"].iloc[:1],
-                                "dup_root": [g["dup_root"].min()]}),
-        batch_format="pandas")
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across all buckets in the partition: compare each
+        # member to its bucket's min-id root by XOR popcount
+        g = g.sort_values(["band", "band_key", "doc_id"], kind="mergesort")
+        grp = g.groupby(["band", "band_key"], sort=False)
+        root_id = grp["doc_id"].transform("first").to_numpy()
+        root_sim = grp["simhash"].transform("first").to_numpy(dtype=np.uint64)
+        sh = g["simhash"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy()
+        x = sh ^ root_sim
+        # SWAR popcount
+        x = x - ((x >> _U64(1)) & _U64(0x5555555555555555))
+        x = (x & _U64(0x3333333333333333)) + ((x >> _U64(2)) & _U64(0x3333333333333333))
+        x = (x + (x >> _U64(4))) & _U64(0x0F0F0F0F0F0F0F0F)
+        ham = ((x * _U64(0x0101010101010101)) >> _U64(56)).astype(np.int64)
+        sel = (ids != root_id) & (ham <= max_hamming)
+        return pd.DataFrame({"doc_id": ids[sel], "dup_root": root_id[sel]})
+
+    pairs = exploded.map_batches(add_part, batch_format="pandas") \
+        .groupby("_part").map_groups(verify_part, batch_format="pandas")
+
+    def part_by_doc(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", "dup_root"]].copy()
+        b["_part"] = (b["doc_id"].to_numpy() % 32).astype(np.int32)
+        return b
+
+    return pairs.map_batches(part_by_doc, batch_format="pandas") \
+        .groupby("_part").map_groups(
+            lambda g: g.drop(columns=["_part"]).groupby(
+                "doc_id", as_index=False, sort=True)["dup_root"].min(),
+            batch_format="pandas")
