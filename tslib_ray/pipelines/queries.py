@@ -270,12 +270,16 @@ def q_top_events_per_user(sf_dir: str):
     events by value per user, deterministic tiebreak on event_id)."""
     ds = _events(sf_dir, ["user_id", "event_id", "value"])
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(3)
+    def top3_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        rank = g.groupby("user_id", sort=False).cumcount()
+        return g[rank < 3]
 
-    return ds.groupby("user_id").map_groups(top3, batch_format="pandas")
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: top3_part(g.drop(columns=["_part"])),
+        batch_format="pandas")
 
 
 _TOP_EVENTS_SQL = """
@@ -291,19 +295,24 @@ def q_user_value_dev(sf_dir: str):
     count (``value*n - sum``) — a windowed aggregate as a grouped UDF."""
     ds = _events(sf_dir, ["user_id", "event_id", "value"])
 
-    def dev(g: pd.DataFrame) -> pd.DataFrame:
+    def dev_part(g: pd.DataFrame) -> pd.DataFrame:
         # grid-exact form: value*n - sum stays ON the 0.01 grid (value and
         # sum are 2-decimal), so the result is bit-stable across engines;
         # value - sum/n is NOT (sum/n lands on half-grid boundaries whenever
-        # n has a 2^k factor — measured 108 bit flips at sf0.01)
-        v = g["value"].to_numpy()
-        scaled = v * len(g) - v.sum()
+        # n has a 2^k factor — measured 108 bit flips at sf0.01).
+        # vectorized across all of the partition's users via transform.
+        grp = g.groupby("user_id", sort=False)["value"]
+        scaled = (g["value"].to_numpy() * grp.transform("size").to_numpy()
+                  - grp.transform("sum").to_numpy())
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "value_dev": np.floor(scaled * 100 + 0.5) / 100,
         })
 
-    return ds.groupby("user_id").map_groups(dev, batch_format="pandas")
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: dev_part(g.drop(columns=["_part"])),
+        batch_format="pandas")
 
 
 _USER_DEV_SQL = """

@@ -143,15 +143,24 @@ def synth_transcripts_table(n_convs: int, mean_turns: int = 40,
     return pa.concat_tables(tables)
 
 
-def _derive_transcript_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation derivation: stable sort by (ts, event_id), dense
-    turn_idx, role/tool mapping, inter-turn latency in seconds. Emits only
-    the columns present in the input (text/role/tool are optional so callers
-    can prune the wide columns before the shuffle — SURVEY.md §7.3.4)."""
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+def _derive_transcript_part(g: pd.DataFrame) -> pd.DataFrame:
+    """Partition-level derivation, vectorized across ALL conversations in the
+    partition: stable sort by (user, ts, event_id), dense per-conv turn_idx
+    (cumcount), role/tool mapping, inter-turn latency masked at conversation
+    boundaries. Emits only the columns present in the input (text/role/tool
+    optional so callers can prune wide columns before the shuffle —
+    SURVEY.md §7.3.4)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
     n = len(g)
+    uid = g["user_id"].to_numpy()
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = uid[1:] != uid[:-1]
+    # dense turn index per conversation: global arange minus each conv's start
+    pos = np.arange(n, dtype=np.int64)
+    start = np.maximum.accumulate(np.where(first, pos, 0))
     out = {"conv_id": "c" + g["user_id"].astype(str),
-           "turn_idx": np.arange(n, dtype=np.int32)}
+           "turn_idx": (pos - start).astype(np.int32)}
     if "event_type" in g:
         out["role"] = g["event_type"].map(
             {k: v[0] for k, v in EVENT_ROLE_MAP.items()}).to_numpy()
@@ -163,19 +172,27 @@ def _derive_transcript_group(g: pd.DataFrame) -> pd.DataFrame:
     out["ts"] = g["ts"].to_numpy()
     if "value" in g:
         out["value"] = g["value"].to_numpy()
-    out["latency_s"] = g["ts"].diff().dt.total_seconds().to_numpy()
+    lat = g["ts"].diff().dt.total_seconds().to_numpy()
+    lat[first] = np.nan
+    out["latency_s"] = lat
     return pd.DataFrame(out)
 
 
 _FULL_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
-def transcripts_from_events(sf_dir: str, columns=_FULL_COLS) -> "rd.Dataset":
+def transcripts_from_events(sf_dir: str, columns=_FULL_COLS,
+                            n_parts: int = 64) -> "rd.Dataset":
     """events.parquet -> transcript-shaped Dataset with derived ``turn_idx``
-    and ``latency_s``. One hash shuffle on the conversation key (the same key
-    every downstream rollup groups on). Pass a pruned ``columns`` (always
-    including event_id/ts/user_id) to keep wide payload columns out of the
-    shuffle when downstream only needs the derived numerics."""
+    and ``latency_s``. One hash shuffle on a stable key-hash bucket (whole
+    conversations co-located; UDF vectorized across every conversation in a
+    partition). Pass a pruned ``columns`` (always including
+    event_id/ts/user_id) to keep wide payload columns out of the shuffle
+    when downstream only needs the derived numerics."""
+    from ..stages.rollup import _add_part
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
-    return ds.groupby("user_id").map_groups(_derive_transcript_group,
-                                            batch_format="pandas")
+    parted = _add_part(ds, "user_id", n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda g: _derive_transcript_part(g.drop(columns=["_part"])),
+        batch_format="pandas")

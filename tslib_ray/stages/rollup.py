@@ -306,14 +306,22 @@ def rate_by(ds: "rd.Dataset", dim_col: str, ts_col: str,
 
 
 def retention_trim(tier_points: "rd.Dataset", keys: Sequence[str],
-                   keep_last: int) -> "rd.Dataset":
+                   keep_last: int, n_parts: int = 64) -> "rd.Dataset":
     """Per-key retention: keep only the most recent ``keep_last`` buckets of
-    each key (per-key top-k by bucket_ts = groupby + in-UDF sort/limit;
-    there is no global sort)."""
+    each key — per-key top-k by bucket_ts, computed vectorized across all of
+    a hash partition's keys (sort + cumcount-from-end); never a global
+    sort."""
     keys = list(keys)
+    assert len(keys) == 1, "single retention key expected"
+    key = keys[0]
 
-    def trim(g):
-        g = g.sort_values("bucket_ts", kind="mergesort")
-        return g.iloc[-keep_last:]
+    def trim_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([key, "bucket_ts"],
+                          ascending=[True, False], kind="mergesort")
+        rank = g.groupby(key, sort=False).cumcount()
+        return g[rank < keep_last]
 
-    return tier_points.groupby(keys).map_groups(trim, batch_format="pandas")
+    parted = _add_part(tier_points, key, n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda g: trim_part(g.drop(columns=["_part"])),
+        batch_format="pandas")
