@@ -158,9 +158,15 @@ def _tier_tables(kcol: str, codes, uniques: pa.Array, ts_us, vals,
     if len(ts_us) == 0:
         return empty_schema.empty_table()
 
-    b1 = ts_us // TIER_US["1m"] * TIER_US["1m"]
-    order = np.lexsort((b1, codes))
-    codes_s, b1_s, vals_s = codes[order], b1[order], vals[order]
+    # deterministic accumulation order (SURVEY.md §7.3.1): sort by
+    # (key, ts) — not merely (key, bucket) — so per-bucket sums always add
+    # in time order regardless of shuffle arrival order; this is what makes
+    # the tier points bit-exactly reproducible and equal to the sequential
+    # single-process oracle
+    order = np.lexsort((ts_us, codes))
+    codes_s = codes[order]
+    b1_s = (ts_us[order] // TIER_US["1m"]) * TIER_US["1m"]
+    vals_s = vals[order]
     boundary = np.concatenate(
         ([True], (codes_s[1:] != codes_s[:-1]) | (b1_s[1:] != b1_s[:-1])))
     idx = np.flatnonzero(boundary)
