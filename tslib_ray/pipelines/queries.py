@@ -210,9 +210,13 @@ def q_normalize_value(sf_dir: str):
     stats = ds.aggregate(Min("value"), Max("value"))
     vmin, vmax = stats["min(value)"], stats["max(value)"]
     mid, half = 0.5 * (vmin + vmax), 0.5 * (vmax - vmin)
+    degenerate = half == 0.0  # all values equal -> emit 0.0, not inf/NaN
 
     def fn(b: pa.Table) -> pa.Table:
-        norm = _r6_arrow(pc.divide(pc.subtract(b["value"], mid), half))
+        if degenerate:
+            norm = pa.array(np.zeros(len(b)), type=pa.float64())
+        else:
+            norm = _r6_arrow(pc.divide(pc.subtract(b["value"], mid), half))
         return b.append_column("value_norm", norm).drop_columns(["value"])
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -220,8 +224,9 @@ def q_normalize_value(sf_dir: str):
 
 _NORMALIZE_SQL = """
     SELECT event_id,
-           FLOOR(((value - 0.5 * (mn + mx)) / (0.5 * (mx - mn))) * 1000000 + 0.5) / 1000000
-               AS value_norm
+           CASE WHEN mx = mn THEN 0.0
+                ELSE FLOOR(((value - 0.5 * (mn + mx)) / (0.5 * (mx - mn))) * 1000000 + 0.5) / 1000000
+           END AS value_norm
     FROM events, (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)"""
 
 

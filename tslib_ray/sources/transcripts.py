@@ -162,13 +162,17 @@ def _derive_transcript_part(g: pd.DataFrame) -> pd.DataFrame:
     out = {"conv_id": "c" + g["user_id"].astype(str),
            "turn_idx": (pos - start).astype(np.int32)}
     if "event_type" in g:
+        # unseen event types fall through to 'user'/'' — mirrors the oracle
+        # SQL's CASE ... ELSE branch (ADVICE r01)
         out["role"] = g["event_type"].map(
-            {k: v[0] for k, v in EVENT_ROLE_MAP.items()}).to_numpy()
+            {k: v[0] for k, v in EVENT_ROLE_MAP.items()}
+        ).fillna("user").to_numpy()
     if "props" in g:
         out["text"] = g["props"].to_numpy()
     if "event_type" in g:
         out["tool"] = g["event_type"].map(
-            {k: v[1] for k, v in EVENT_ROLE_MAP.items()}).to_numpy()
+            {k: v[1] for k, v in EVENT_ROLE_MAP.items()}
+        ).fillna("").to_numpy()
     out["ts"] = g["ts"].to_numpy()
     if "value" in g:
         out["value"] = g["value"].to_numpy()

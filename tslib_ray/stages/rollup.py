@@ -139,6 +139,17 @@ def _dict_encode(col: pa.ChunkedArray | pa.Array):
     return codes, enc.dictionary
 
 
+def _check_tier_order(tiers) -> None:
+    """The cascade re-buckets finest-to-coarsest from the 1m base; a
+    coarser-to-finer order would silently produce wrong buckets (rebucketing
+    already-coarsened partials is a no-op) — reject it (ADVICE r01)."""
+    tiers = list(tiers)
+    known = [t for t in TIERS if t in tiers]
+    if tiers != known or len(set(tiers)) != len(tiers):
+        raise ValueError(
+            f"tiers must be an ordered subsequence of {TIERS}, got {tiers!r}")
+
+
 def _tier_tables(kcol: str, codes, uniques: pa.Array, ts_us, vals,
                  tiers) -> pa.Table:
     """Vectorized tier cascade over MANY keys at once (one partition's worth
@@ -155,6 +166,7 @@ def _tier_tables(kcol: str, codes, uniques: pa.Array, ts_us, vals,
         ("n", pa.int64()), ("bucket_ts", pa.timestamp("us")),
         ("mean_value", pa.float64()),
     ])
+    _check_tier_order(tiers)
     if len(ts_us) == 0:
         return empty_schema.empty_table()
 
@@ -232,6 +244,8 @@ def value_tiers_per_key(ds: "rd.Dataset", key: str, ts_col: str,
     conversation, never by partition count.
     """
     import numpy as np
+
+    _check_tier_order(tiers)
 
     def fn(t: pa.Table) -> pa.Table:
         codes, uniques = _dict_encode(t[key])
