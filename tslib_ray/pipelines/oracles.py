@@ -1,0 +1,191 @@
+"""Sequential (no-Ray) oracle builders for queries whose semantics SQL
+cannot express (SVD/ALS model fits, incremental TSmodel ensembles, media
+byte-feature stubs).
+
+Protocol (VERDICT r01 item 1): the ``oracle_sql()`` entry for these queries
+is a self-contained DuckDB ``SELECT * FROM (VALUES ...)`` literal, produced
+at call time by running a SINGLE-PROCESS sequential implementation of the
+same math over the same inputs — the sf0.01 parquet fixtures the driver
+checks against (``DRIVER_SF_DIR``), or the seeded synthetic fixture for
+sf-independent queries. The driver's three checks (rows, schema, value hash)
+then verify that the distributed Ray execution — shuffles, partition UDFs,
+actor pools, joins — reproduces the sequential reference bit-for-bit after
+the shared r6 rounding, which is the reference-parity contract of the north
+rule ("matching the reference's rolled-up points").
+
+The builders deliberately reuse the repo's pure-numpy kernel functions
+(which pytest separately verifies against ``np.linalg`` oracles); what this
+layer adds is the independent *execution path*: one process, one thread, no
+Ray, global sort order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DRIVER_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def r6(x):
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def _sql_literal(v, dtype) -> str:
+    if pd.isna(v) and not isinstance(v, str):
+        return "CAST('NaN' AS DOUBLE)" if "float" in str(dtype) else "NULL"
+    if "float" in str(dtype):
+        return repr(float(v))  # 17 sig digits -> exact double round-trip
+    if "int" in str(dtype):
+        return str(int(v))
+    if "bool" in str(dtype):
+        return "TRUE" if v else "FALSE"
+    if "datetime" in str(dtype):
+        return f"TIMESTAMP '{pd.Timestamp(v).isoformat(sep=' ')}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+_CAST = {"int64": "BIGINT", "int32": "INTEGER", "float64": "DOUBLE",
+         "bool": "BOOLEAN", "object": "VARCHAR",
+         "datetime64[us]": "TIMESTAMP", "datetime64[ns]": "TIMESTAMP"}
+
+
+def values_sql(df: pd.DataFrame) -> str:
+    """Render a small frame as ``SELECT * FROM (VALUES ...) t(cols)`` with
+    first-row casts pinning the column types."""
+    cols = list(df.columns)
+    rows = []
+    for ri, (_, row) in enumerate(df.iterrows()):
+        cells = []
+        for c in cols:
+            lit = _sql_literal(row[c], df[c].dtype)
+            if ri == 0:
+                lit = f"CAST({lit} AS {_CAST[str(df[c].dtype)]})"
+            cells.append(lit)
+        rows.append("(" + ", ".join(cells) + ")")
+    body = ",\n ".join(rows)
+    return (f"SELECT * FROM (VALUES\n {body}\n) AS t({', '.join(cols)})")
+
+
+# ---------------------------------------------------------------------------
+# sequential reference executions
+# ---------------------------------------------------------------------------
+
+def rsc_frame(n_metrics: int = 1, n_experiments: int = 4) -> pd.DataFrame:
+    """Sequential RSC/mRSC counterfactuals over the seeded synthetic panel —
+    same kernels, driver-side loop instead of groupby.map_groups."""
+    from ..sources.panel import synth_panel
+    from ..stages.panel import _solve_one
+    panel, _ = synth_panel(n_metrics=n_metrics,
+                           n_experiments=n_experiments, seed=42)
+    frames = []
+    for eid, g in panel.groupby("experiment_id", sort=True):
+        out = _solve_one(g, "treated", 4, 30, "svd")
+        out.insert(0, "experiment_id", eid)
+        frames.append(out)
+    df = pd.concat(frames, ignore_index=True)
+    df["actual"] = r6(df["actual"].to_numpy())
+    df["counterfactual"] = r6(df["counterfactual"].to_numpy())
+    return df
+
+
+def rsc_values(n_metrics: int = 1, n_experiments: int = 4) -> str:
+    return values_sql(rsc_frame(n_metrics, n_experiments))
+
+
+def forecast_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One user's rolling one-step forecasts (tslib SVDModel.predict
+    semantics, ``/root/reference/src/models/tsSVDModel.py:250-284``) — shared
+    verbatim by the Ray group UDF and the sequential oracle."""
+    from ..kernels.tsmodel import SVDModel
+    g = g.sort_values("event_id", kind="mergesort")
+    v = g["value"].to_numpy(dtype=np.float64)
+    N = 5
+    n_test = max(1, v.size // 10)
+    train = v[: v.size - n_test]
+    M = train.size // N
+    if M < 2 * N:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "event_id": pd.Series([], dtype=np.int64),
+                             "forecast": pd.Series([], dtype=np.float64),
+                             "actual": pd.Series([], dtype=np.float64)})
+    model = SVDModel("s", 3, N, M).fit({"s": train[: N * M]})
+    ids = g["event_id"].to_numpy()
+    rows = []
+    for i in range(v.size - n_test, v.size):
+        pred = model.predict({}, {"s": v[i - N + 1: i]})
+        rows.append((g["user_id"].iloc[0], ids[i], pred, v[i]))
+    out = pd.DataFrame(rows, columns=["user_id", "event_id",
+                                      "forecast", "actual"])
+    out["forecast"] = r6(out["forecast"].to_numpy())
+    return out
+
+
+def forecast_values(sf_dir: str = DRIVER_SF_DIR) -> str:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    frames = [forecast_group(g) for _, g in ev.groupby("user_id", sort=True)]
+    return values_sql(pd.concat(frames, ignore_index=True))
+
+
+def incremental_values(sf_dir: str = DRIVER_SF_DIR, k: int = 2, L: int = 5,
+                       T0: int = 30, rect_factor: int = 3) -> str:
+    from ..stages.incremental import denoise_summary_group
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    frames = [denoise_summary_group(g, "user_id", "event_id", "value",
+                                    k, L, 0.5, T0, rect_factor)
+              for _, g in ev.groupby("user_id", sort=True)]
+    return values_sql(pd.concat(frames, ignore_index=True))
+
+
+def media_values(n_rows: int = 256, payload_bytes: int = 2048,
+                 seed: int = 42) -> str:
+    """Sequential media feature table (sf-independent — same params as
+    q_media_features)."""
+    from ..stages.multimodal import byte_features, payload_words
+    ids = np.arange(n_rows, dtype=np.int64)
+    n_words = payload_bytes // 8
+    feats = np.array([byte_features(payload_words(i, n_words, seed).tobytes())
+                      for i in ids])
+    mt = np.where(ids % 3 == 0, "image/png",
+                  np.where(ids % 3 == 1, "image/jpeg", "audio/wav"))
+    df = pd.DataFrame({
+        "media_id": ids,
+        "media_type": mt,
+        "width": (ids % 640 + 32).astype(np.int32),
+        "height": (ids % 480 + 32).astype(np.int32),
+        "n_bytes": feats[:, 0],
+        "byte_entropy": np.round(feats[:, 1], 6),
+        "stride_mean": np.round(feats[:, 2], 6),
+    })
+    return values_sql(df)
+
+
+def gapfill_svd_values(sf_dir: str = DRIVER_SF_DIR, k: int = 4) -> str:
+    """Sequential replay of the gap_fill_svd summary: events -> (user, ts)
+    sort -> 1m/1h tier cascade (the same ``_tier_tables`` kernel, whole
+    table at once) -> svd gap-fill -> per-user summary."""
+    from ..stages.gapfill import _gapfill_part
+    from ..stages.rollup import _dict_encode, _tier_tables
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    t = pa.Table.from_pandas(ev, preserve_index=False)
+    codes, uniques = _dict_encode(t["user_id"])
+    ts_us = t["ts"].cast(pa.int64()).to_numpy()
+    vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tiers = _tier_tables("user_id", codes, uniques, ts_us, vals,
+                         ["1m", "1h"])
+    pts = tiers.to_pandas()
+    pts = pts[pts["tier"] == "1h"][["user_id", "bucket_ts", "mean_value"]]
+    filled = _gapfill_part(pts, ["user_id"], "1h", "mean_value", "svd", k)
+    grp = filled.groupby("user_id", sort=True)
+    out = grp.agg(n_buckets=("mean_value", "size"),
+                  n_observed=("observed", "sum"),
+                  sum_filled=("mean_value", "sum")).reset_index()
+    out["n_buckets"] = out["n_buckets"].astype(np.int64)
+    out["n_observed"] = out["n_observed"].astype(np.int64)
+    out["sum_filled"] = r6(out["sum_filled"].to_numpy())
+    return values_sql(out)

@@ -18,8 +18,8 @@ import ray.data as rd
 
 from ..sources.transcripts import transcripts_from_events
 from ..stages import rollup as R
-from ..stages.ann import knn_brute, knn_ivf, cosine_dedup
-from ..stages.dedup import dedup_exact, dedup_minhash, dedup_simhash
+from ..stages.ann import knn_brute, knn_ivf, cosine_dedup, cosine_pairs_exact
+from ..stages.dedup import dedup_exact_ids, dedup_minhash, dedup_simhash
 from ..stages.encode import decode_tiles_to_points, encode_tiles
 from ..stages.gapfill import gap_fill
 from ..stages.sessionize import session_stats
@@ -454,8 +454,8 @@ _TOP_CUST_SQL = """
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
-    kept = dedup_exact(_docs(sf_dir, ["doc_id", "text"]))
-    return kept.select_columns(["doc_id"])
+    # narrow path end-to-end: only (hash128, id) ever shuffles
+    return dedup_exact_ids(_docs(sf_dir, ["doc_id", "text"]))
 
 
 _DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
@@ -558,33 +558,14 @@ def q_forecast_per_user(sf_dir: str):
     """Rolling one-step forecasts per user over the event value series
     (tslib SVDModel.predict semantics, ``tsSVDModel.py:250-284``): fit on the
     first part of each series, then forecast the tail point-by-point feeding
-    realized values. Rows-only (not SQL-expressible)."""
-    from tslib_ray.kernels.tsmodel import SVDModel
+    realized values. Oracle: the identical group kernel
+    (:func:`tslib_ray.pipelines.oracles.forecast_group`) executed
+    sequentially without Ray, embedded as a VALUES literal."""
+    from .oracles import forecast_group
 
     ds = _events(sf_dir, ["user_id", "event_id", "value"])
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id", kind="mergesort")
-        v = g["value"].to_numpy(dtype=np.float64)
-        N = 5
-        n_test = max(1, v.size // 10)
-        train = v[: v.size - n_test]
-        M = train.size // N
-        if M < 2 * N:
-            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
-                                 "event_id": pd.Series([], dtype=np.int64),
-                                 "forecast": pd.Series([], dtype=np.float64),
-                                 "actual": pd.Series([], dtype=np.float64)})
-        model = SVDModel("s", 3, N, M).fit({"s": train[: N * M]})
-        ids = g["event_id"].to_numpy()
-        rows = []
-        for i in range(v.size - n_test, v.size):
-            pred = model.predict({}, {"s": v[i - N + 1: i]})
-            rows.append((g["user_id"].iloc[0], ids[i], pred, v[i]))
-        return pd.DataFrame(rows, columns=["user_id", "event_id",
-                                           "forecast", "actual"])
-
-    return ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(forecast_group,
+                                            batch_format="pandas")
 
 
 def q_distinct_event_types(sf_dir: str):
@@ -606,16 +587,79 @@ _DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
 
 def q_gap_fill_svd(sf_dir: str):
     """Gap-fill via page-matrix SVD imputation (tslib's core operator as the
-    fill kernel)."""
+    fill kernel). Output is the per-user summary (bucket counts + r6 sums of
+    the filled series, accumulated in time order inside the partition UDF so
+    they are bit-reproducible) — the VALUES-literal oracle in
+    :mod:`tslib_ray.pipelines.oracles` recomputes it sequentially without
+    Ray."""
     pts = _tier_slice(_value_tiers_1h(sf_dir), "1h")
-    return gap_fill(pts, ["user_id"], "1h", value_col="mean_value",
-                    method="svd", k=4)
+    filled = gap_fill(pts, ["user_id"], "1h", value_col="mean_value",
+                      method="svd", k=4)
+    return _gapfill_summary(filled)
+
+
+def _gapfill_summary(filled: "rd.Dataset") -> "rd.Dataset":
+    """Per-user (n_buckets, n_observed, r6(sum filled)). Computed inside the
+    partition batch (keys are whole and time-ordered there), so the float
+    accumulation order is deterministic."""
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        grp = b.groupby("user_id", sort=True)
+        out = grp.agg(
+            n_buckets=("mean_value", "size"),
+            n_observed=("observed", "sum"),
+            sum_filled=("mean_value", "sum"),
+        ).reset_index()
+        out["n_observed"] = out["n_observed"].astype(np.int64)
+        out["n_buckets"] = out["n_buckets"].astype(np.int64)
+        out["sum_filled"] = r6(out["sum_filled"].to_numpy())
+        return out
+
+    return filled.map_batches(summarize, batch_format="pandas",
+                              batch_size=None)
 
 
 def q_gap_fill_linear(sf_dir: str):
     pts = _tier_slice(_value_tiers_1h(sf_dir), "1h")
-    return gap_fill(pts, ["user_id"], "1h", value_col="mean_value",
-                    method="linear")
+    out = gap_fill(pts, ["user_id"], "1h", value_col="mean_value",
+                   method="linear")
+    return _round6(out, cols=["mean_value"])
+
+
+_GAP_FILL_LINEAR_SQL = """
+    WITH pts AS (SELECT user_id, date_trunc('hour', ts) AS b,
+                        SUM(value) / COUNT(value) AS v
+                 FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+               FROM pts GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+             FROM bounds),
+    j AS (SELECT g.user_id, g.b,
+                 CAST(epoch_us(g.b) AS BIGINT) / 3600000000 AS i, p.v
+          FROM grid g LEFT JOIN pts p
+            ON p.user_id = g.user_id AND p.b = g.b),
+    w AS (SELECT user_id, b, i, v,
+                 last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY b
+                           ROWS UNBOUNDED PRECEDING) AS pi,
+                 first_value(v IGNORE NULLS) OVER
+                     (PARTITION BY user_id ORDER BY b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY b
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS ni
+          FROM j)
+    SELECT user_id, b AS bucket_ts,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                       ELSE (nv - pv) / CAST(ni - pi AS DOUBLE) * (i - pi) + pv
+                  END) * 1000000 + 0.5) / 1000000 AS mean_value,
+           v IS NOT NULL AS observed
+    FROM w"""
 
 
 def _value_tiers_1h(sf_dir: str) -> "rd.Dataset":
@@ -625,13 +669,23 @@ def _value_tiers_1h(sf_dir: str) -> "rd.Dataset":
 
 
 def q_gorilla_tiles_1h(sf_dir: str):
-    # the fused tier stage already emits each key's points contiguously and
-    # bucket-sorted, so tiles encode directly — no extra clustering shuffle
-    # (a key split across batches just yields multiple valid tiles)
+    """Whole-key tile encode (one hash-bucket shuffle): every user yields
+    exactly ceil(n_hourly_buckets / 4096) tiles, which at the driver's
+    scales is 1 per user — so tile starts/counts are the SQL-expressible
+    per-user (min bucket, bucket count)."""
+    from ..stages.encode import encode_tiles_grouped
     pts = _tier_slice(_value_tiers_1h(sf_dir), "1h")
-    tiles = encode_tiles(pts, ["user_id"], "1h", concurrency=2)
+    tiles = encode_tiles_grouped(pts, ["user_id"], "1h")
     return tiles.select_columns(["user_id", "tier", "tile_start_ts",
                                  "n_points"])
+
+
+_TILES_SQL = """
+    WITH h AS (SELECT user_id, date_trunc('hour', ts) AS b
+               FROM events GROUP BY 1, 2)
+    SELECT user_id, '1h' AS tier, MIN(b) AS tile_start_ts,
+           COUNT(*) AS n_points
+    FROM h GROUP BY 1"""
 
 
 def q_gorilla_roundtrip_1h(sf_dir: str):
@@ -654,15 +708,68 @@ def q_minhash_dedup(sf_dir: str):
                          threshold=0.8).select_columns(["doc_id"])
 
 
+def _minhash_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """All-pairs oracle for the LSH pipeline: keep docs with NO smaller-id
+    doc at token-k-shingle Jaccard >= threshold. Equals the engine output
+    because 32-band/2-row LSH has miss probability (1-J^2)^32 ~ 6e-15 at the
+    threshold and verification is exact both sides (dedup.py docstring)."""
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    WITH s AS (SELECT doc_id,
+            list_distinct([{shingle}
+                           for i in generate_series(1, len(t) - {k - 1})]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    SELECT a.doc_id AS doc_id FROM s a WHERE NOT EXISTS (
+        SELECT 1 FROM s b WHERE b.doc_id < a.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= {threshold})"""
+
+
 def q_simhash_candidates(sf_dir: str):
     return dedup_simhash(_docs(sf_dir, ["doc_id", "text"]))
+
+
+_SIMHASH_SQL = """
+    WITH th AS (SELECT doc_id, md5_number_lower(unnest(string_split(text, ' ')))::UBIGINT AS h
+                FROM documents),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY 1),
+    bits AS (SELECT th.doc_id, b.b,
+                    SUM(CAST((h >> b.b) & 1 AS BIGINT)) AS ones
+             FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+             GROUP BY 1, 2),
+    sig AS (SELECT bits.doc_id,
+                   bit_or(CASE WHEN ones * 2 > n
+                               THEN 1::UBIGINT << CAST(b AS INTEGER)
+                               ELSE 0::UBIGINT END) AS s
+            FROM bits JOIN cnt ON bits.doc_id = cnt.doc_id GROUP BY 1),
+    sb AS (SELECT doc_id, s, band,
+                  (s >> CAST(band * 16 AS INTEGER)) & 65535::UBIGINT AS key
+           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS cand,
+                     a.s AS s1, b.s AS s2
+              FROM sb a JOIN sb b
+                ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id)
+    SELECT doc_id, MIN(cand) AS dup_root
+    FROM pairs WHERE bit_count(xor(s1, s2)) <= 3 GROUP BY 1"""
 
 
 def q_embedding_dedup(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     # synthetic embeddings are near-orthogonal; 0.25 surfaces the near-dup
-    # tail (the production threshold would be ~0.95)
-    return cosine_dedup(emb, threshold=0.25)
+    # tail (the production threshold would be ~0.95). The EXACT block-pair
+    # variant is used here so the DuckDB all-pairs oracle applies; the
+    # centroid-blocked cosine_dedup is the recall-bounded scale path
+    # (covered by pytest with a planted hot bucket).
+    return cosine_pairs_exact(emb, threshold=0.25)
+
+
+_EMB_DEDUP_SQL = """
+    SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_root
+    FROM embeddings a JOIN embeddings b
+      ON b.vec_id < a.vec_id
+     AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) >= 0.25
+    GROUP BY 1"""
 
 
 def q_knn_ivf(sf_dir: str):
@@ -849,24 +956,28 @@ def q_rsc_counterfactual(sf_dir: str):
     from tslib_ray.sources.panel import synth_panel
     from tslib_ray.stages.panel import rsc_counterfactuals
     panel, _ = synth_panel(n_experiments=4, seed=42)
-    return rsc_counterfactuals(rd.from_pandas(panel), "treated", 4,
-                               train_end=30)
+    out = rsc_counterfactuals(rd.from_pandas(panel), "treated", 4,
+                              train_end=30)
+    return _round6(out, cols=["actual", "counterfactual"])
 
 
 def q_mrsc_counterfactual(sf_dir: str):
     from tslib_ray.sources.panel import synth_panel
     from tslib_ray.stages.panel import rsc_counterfactuals
     panel, _ = synth_panel(n_metrics=2, n_experiments=2, seed=42)
-    return rsc_counterfactuals(rd.from_pandas(panel), "treated", 4,
-                               train_end=30)
+    out = rsc_counterfactuals(rd.from_pandas(panel), "treated", 4,
+                              train_end=30)
+    return _round6(out, cols=["actual", "counterfactual"])
 
 
 def q_incremental_denoise(sf_dir: str):
-    """Per-user incremental TSmodel denoise over the event value stream."""
-    from tslib_ray.stages.incremental import denoise_per_key
+    """Per-user incremental TSmodel denoise over the event value stream —
+    surfaced as the per-user summary (deterministic in-order sums) so the
+    sequential VALUES oracle can hash-compare it."""
+    from tslib_ray.stages.incremental import denoise_summary_per_key
     ds = _events(sf_dir, ["user_id", "event_id", "value"])
-    return denoise_per_key(ds, "user_id", "event_id", "value",
-                           k=2, L=5, T0=30, rect_factor=3)
+    return denoise_summary_per_key(ds, "user_id", "event_id", "value",
+                                   k=2, L=5, T0=30, rect_factor=3)
 
 
 def q_media_features(sf_dir: str):
@@ -906,20 +1017,38 @@ QUERIES: dict = {
     "distinct_event_types": (q_distinct_event_types, _DISTINCT_SQL),
     "role_rollup_per_conv": (q_role_rollup_per_conv, _ROLE_PER_CONV_SQL),
     "text_integrity": (q_text_integrity, _TEXT_INTEGRITY_SQL),
-    "gap_fill_svd": (q_gap_fill_svd, None),
-    "forecast_per_user": (q_forecast_per_user, None),
+    "gap_fill_svd": (q_gap_fill_svd,
+                     lambda: __import__(
+                         "tslib_ray.pipelines.oracles",
+                         fromlist=["gapfill_svd_values"]).gapfill_svd_values()),
+    "forecast_per_user": (q_forecast_per_user,
+                          lambda: __import__(
+                              "tslib_ray.pipelines.oracles",
+                              fromlist=["forecast_values"]).forecast_values()),
     # rows-only (non-SQL-expressible) checks
-    "gap_fill_linear": (q_gap_fill_linear, None),
-    "gorilla_tiles_1h": (q_gorilla_tiles_1h, None),
-    "minhash_dedup": (q_minhash_dedup, None),
-    "simhash_candidates": (q_simhash_candidates, None),
-    "embedding_dedup": (q_embedding_dedup, None),
+    "gap_fill_linear": (q_gap_fill_linear, _GAP_FILL_LINEAR_SQL),
+    "gorilla_tiles_1h": (q_gorilla_tiles_1h, _TILES_SQL),
+    "minhash_dedup": (q_minhash_dedup, _minhash_sql()),
+    "simhash_candidates": (q_simhash_candidates, _SIMHASH_SQL),
+    "embedding_dedup": (q_embedding_dedup, _EMB_DEDUP_SQL),
     "knn_ivf": (q_knn_ivf, _ANN_IVF_SQL),
     "quality_score": (q_quality_score, _quality_sql()),
     "lang_id": (q_lang_id, _lang_sql()),
     "fingerprint": (q_fingerprint, _fingerprint_sql()),
-    "rsc_counterfactual": (q_rsc_counterfactual, None),
-    "mrsc_counterfactual": (q_mrsc_counterfactual, None),
-    "incremental_denoise": (q_incremental_denoise, None),
-    "media_features": (q_media_features, None),
+    "rsc_counterfactual": (q_rsc_counterfactual,
+                           lambda: __import__(
+                               "tslib_ray.pipelines.oracles",
+                               fromlist=["rsc_values"]).rsc_values(1, 4)),
+    "mrsc_counterfactual": (q_mrsc_counterfactual,
+                            lambda: __import__(
+                                "tslib_ray.pipelines.oracles",
+                                fromlist=["rsc_values"]).rsc_values(2, 2)),
+    "incremental_denoise": (q_incremental_denoise,
+                            lambda: __import__(
+                                "tslib_ray.pipelines.oracles",
+                                fromlist=["incremental_values"]).incremental_values()),
+    "media_features": (q_media_features,
+                       lambda: __import__(
+                           "tslib_ray.pipelines.oracles",
+                           fromlist=["media_values"]).media_values()),
 }

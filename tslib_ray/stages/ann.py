@@ -139,10 +139,16 @@ def knn_ivf(embeddings: "rd.Dataset", queries: np.ndarray, k: int = 10,
 
 def cosine_dedup(embeddings: "rd.Dataset", threshold: float = 0.95,
                  n_centroids: int = 16, id_col: str = "vec_id",
-                 vec_col: str = "embedding", seed: int = 5) -> "rd.Dataset":
+                 vec_col: str = "embedding", seed: int = 5,
+                 max_bucket: int = 4096) -> "rd.Dataset":
     """Embedding near-dup pairs ``(vec_id, dup_root)`` with cosine >=
-    threshold, blocked by centroid partition (pairs across partitions are
-    missed — documented recall/cost tradeoff of the blocking approach)."""
+    threshold, blocked by centroid partition. Recall tradeoffs (documented):
+    pairs across centroid partitions are missed, and a hot centroid is split
+    into sub-buckets of at most ``max_bucket`` vectors (deterministic id-hash
+    split; pairs across sub-buckets of the same centroid are then missed
+    too). The cap bounds every task at O(max_bucket^2) memory/compute no
+    matter how skewed the centroid assignment is (VERDICT r01 item 5); use
+    :func:`cosine_pairs_exact` when exact recall is required."""
     cent_ref = ray.put(train_centroids(embeddings, n_centroids,
                                        vec_col=vec_col, seed=seed))
 
@@ -152,18 +158,79 @@ def cosine_dedup(embeddings: "rd.Dataset", threshold: float = 0.95,
         part = (m @ c.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("part", pa.array(part))
 
+    def _pairs_block(ids: np.ndarray, m: np.ndarray) -> pd.DataFrame:
+        sims = m @ m.T
+        rows_i, rows_j = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({id_col: ids[rows_j], "dup_root": ids[rows_i]})
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         m = _normalize_rows(np.vstack(g[vec_col].to_numpy()[order]))
-        sims = m @ m.T
-        rows_i, rows_j = np.where(np.triu(sims >= threshold, k=1))
-        if len(rows_i) == 0:
+        if ids.size <= max_bucket:
+            frames = [_pairs_block(ids, m)]
+        else:
+            # deterministic sub-bucket split of a hot centroid
+            n_sub = -(-ids.size // max_bucket)
+            sub = pd.util.hash_array(ids) % n_sub
+            frames = [_pairs_block(ids[sub == s], m[sub == s])
+                      for s in range(n_sub)]
+        df = pd.concat(frames, ignore_index=True)
+        if len(df) == 0:
             return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
                                  "dup_root": pd.Series([], dtype=np.int64)})
-        df = pd.DataFrame({id_col: ids[rows_j], "dup_root": ids[rows_i]})
         return df.groupby(id_col, as_index=False)["dup_root"].min()
 
     return embeddings.map_batches(assign, batch_format="pyarrow") \
         .groupby("part").map_groups(pairs, batch_format="pandas")
+
+
+def cosine_pairs_exact(embeddings: "rd.Dataset", threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> "rd.Dataset":
+    """EXACT all-pairs cosine near-dup ``(vec_id, dup_root)``: one Ray task
+    per unordered block pair over the dataset's Arrow blocks (B blocks ->
+    B(B+1)/2 tasks, each a single dense matmul on zero-copy object-store
+    tables). This is the oracle-checkable variant; it is O(n^2) by definition
+    — at corpus scale use :func:`cosine_dedup` (recall-bounded blocking) and
+    reserve this for within-cluster verification. Raw Ray tasks are used
+    because the Dataset API cannot express a block cross-product
+    (SURVEY.md §4.2 last-resort rule)."""
+    narrow = embeddings.select_columns([id_col, vec_col])
+    refs = narrow.to_arrow_refs()
+
+    @ray.remote
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = ta[id_col].to_numpy()
+        ib = tb[id_col].to_numpy()
+        ma = _normalize_rows(_to_matrix(ta[vec_col]))
+        mb = _normalize_rows(_to_matrix(tb[vec_col]))
+        sims = ma @ mb.T
+        hit = sims >= threshold
+        if same:
+            hit = np.triu(hit, k=1)
+        ii, jj = np.where(hit)
+        a, b = ia[ii], ib[jj]
+        df = pd.DataFrame({id_col: np.maximum(a, b),
+                           "dup_root": np.minimum(a, b)})
+        df = df.groupby(id_col, as_index=False)["dup_root"].min()
+        return pa.table({id_col: pa.array(df[id_col].to_numpy(),
+                                          type=pa.int64()),
+                         "dup_root": pa.array(df["dup_root"].to_numpy(),
+                                              type=pa.int64())})
+
+    tasks = [pair_task.remote(refs[i], refs[j], i == j)
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    pairs = rd.from_arrow_refs(tasks)
+
+    def part_by_doc(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (b[id_col].to_numpy() % 32).astype(np.int32)
+        return b
+
+    return pairs.map_batches(part_by_doc, batch_format="pandas") \
+        .groupby("_part").map_groups(
+            lambda g: g.drop(columns=["_part"]).groupby(
+                id_col, as_index=False, sort=True)["dup_root"].min(),
+            batch_format="pandas")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -126,25 +127,53 @@ def encode_tiles(points: "rd.Dataset", keys, tier: str,
     )
 
 
+def encode_tiles_grouped(points: "rd.Dataset", keys, tier: str,
+                         ts_col: str = "bucket_ts",
+                         value_col: str = "mean_value", n_parts: int = 64,
+                         max_points_per_tile: int = 4096) -> "rd.Dataset":
+    """Whole-key tile encoding: one hash-bucket shuffle co-locates ALL of a
+    key's points in a single partition UDF call, so every key yields exactly
+    ``ceil(n_points / max_points_per_tile)`` tiles — which makes tile counts
+    and boundaries predictable (and SQL-oracle-checkable, unlike the
+    streaming :func:`encode_tiles` where a key crossing a block boundary
+    yields extra, still-valid tiles)."""
+    from .rollup import _add_part
+
+    keys = list(keys)
+    enc = GorillaEncoder(keys=keys, tier=tier, ts_col=ts_col,
+                         value_col=value_col,
+                         max_points_per_tile=max_points_per_tile)
+    parted = _add_part(points.select_columns(keys + [ts_col, value_col]),
+                       keys[0], n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda g: enc(g.drop_columns(["_part"])), batch_format="pyarrow")
+
+
 def decode_tiles_to_points(tiles: "rd.Dataset", keys,
                            value_col: str = "mean_value") -> "rd.Dataset":
     """Inverse stage (read path): tiles -> points."""
     keys = list(keys)
 
     def fn(batch: pa.Table) -> pa.Table:
-        out = {k: [] for k in keys}
-        ts_all, val_all = [], []
-        for i in range(len(batch)):
-            ts, vals = gorilla.decode_tile(batch["ts_blob"][i].as_py(),
-                                           batch["val_blob"][i].as_py())
-            for k in keys:
-                out[k].extend([batch[k][i].as_py()] * len(ts))
+        # one C-level pass per blob column; per-TILE decode loop with fully
+        # vectorized per-tile kernels (gorilla.py); key columns fan out via
+        # a single take on repeated indices — no per-row .as_py()
+        ts_blobs = batch["ts_blob"].to_pylist()
+        val_blobs = batch["val_blob"].to_pylist()
+        counts = batch["n_points"].to_numpy() if "n_points" in batch.column_names \
+            else None
+        ts_all, val_all, lens = [], [], []
+        for tb, vb in zip(ts_blobs, val_blobs):
+            ts, vals = gorilla.decode_tile(tb, vb)
             ts_all.append(ts)
             val_all.append(vals)
+            lens.append(len(ts))
+        lens = np.asarray(lens, dtype=np.int64)
         ts_cat = (np.concatenate(ts_all) if ts_all
                   else np.empty(0, dtype=np.int64))
         val_cat = np.concatenate(val_all) if val_all else np.empty(0)
-        cols = {k: pa.array(v) for k, v in out.items()}
+        row_idx = np.repeat(np.arange(len(batch)), lens)
+        cols = {k: pc.take(batch[k], pa.array(row_idx)) for k in keys}
         cols["bucket_ts"] = pa.array(ts_cat, type=pa.timestamp("us"))
         cols[value_col] = pa.array(val_cat, type=pa.float64())
         return pa.table(cols)

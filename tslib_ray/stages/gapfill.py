@@ -68,44 +68,102 @@ def impute_series(values: np.ndarray, method: str, k: int = 5,
     raise ValueError(f"unknown fill method {method!r}")
 
 
-def _dense_grid_group(g: pd.DataFrame, tier: str, value_col: str, method: str,
-                      k: int) -> pd.DataFrame:
-    """Densify one key's bucket series and fill the planted gaps."""
-    g = g.sort_values("bucket_ts", kind="mergesort")
+def _key_seed(parts) -> int:
+    """Deterministic per-key RNG seed from the key values
+    (PYTHONHASHSEED-free)."""
+    import zlib
+    return zlib.crc32("|".join(map(str, parts)).encode()) & 0x7FFFFFFF
+
+
+def _gapfill_part(g: pd.DataFrame, keys: list[str], tier: str,
+                  value_col: str, method: str, k: int) -> pd.DataFrame:
+    """Densify + fill ALL keys of one hash partition in one vectorized pass
+    (VERDICT r01 item 4 — per-key ``map_groups`` paid ~25x Python overhead
+    for the trivial linear/mid kernels).
+
+    The trick for ``linear``: each key's dense grid starts and ends at an
+    OBSERVED bucket, so every NaN gap is interior to its key — one global
+    ``np.interp`` over the concatenated grids (x = global grid index) can
+    never interpolate across key boundaries, and produces bit-identical
+    results to per-key interpolation (same neighbor points, same slope
+    arithmetic). ``svd``/``als`` fall back to a per-key loop *within* the
+    partition (the model fit dominates, not the loop)."""
+    g = g.sort_values(keys + ["bucket_ts"], kind="mergesort")
     step = TIER_US[tier]
     ts = g["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    lo, hi = ts[0], ts[-1]
-    grid = np.arange(lo, hi + step, step, dtype=np.int64)
-    pos = (ts - lo) // step
-    vals = np.full(grid.size, np.nan)
-    vals[pos] = g[value_col].to_numpy(dtype=np.float64)
-    observed = np.zeros(grid.size, dtype=bool)
+    vals_in = g[value_col].to_numpy(dtype=np.float64)
+    codes = g.groupby(keys, sort=False).ngroup().to_numpy()
+    n_in = ts.size
+    row_start = np.concatenate(([True], codes[1:] != codes[:-1]))
+    starts_in = np.flatnonzero(row_start)            # first input row per key
+    ends_in = np.append(starts_in[1:], n_in)
+    lo = ts[starts_in]                               # per-key grid bounds
+    hi = ts[ends_in - 1]
+    counts = (hi - lo) // step + 1
+    out_starts = np.cumsum(counts) - counts
+    N = int(counts.sum())
+    key_of_out = np.repeat(np.arange(counts.size), counts)
+    grid = (np.repeat(lo, counts)
+            + (np.arange(N) - np.repeat(out_starts, counts)) * step)
+    # scatter observed values into the global grid
+    pos = out_starts[codes] + (ts - lo[codes]) // step
+    vals = np.full(N, np.nan)
+    vals[pos] = vals_in
+    observed = np.zeros(N, dtype=bool)
     observed[pos] = True
-    key_cols = {c: np.repeat(g[c].iloc[0], grid.size)
-                for c in g.columns
-                if c not in ("bucket_ts", value_col, "sum_value", "min_value",
-                             "max_value", "n", "mean_value")}
-    # deterministic per-group seed from the key values (PYTHONHASHSEED-free)
-    import zlib
-    key_repr = "|".join(f"{c}={g[c].iloc[0]}" for c in sorted(key_cols))
-    seed = zlib.crc32(key_repr.encode()) & 0x7FFFFFFF
-    return pd.DataFrame({
-        **key_cols,
-        "bucket_ts": grid.astype("datetime64[us]"),
-        value_col: impute_series(vals, method, k=k, seed=seed),
-        "observed": observed,
-    })
+
+    # keys whose OBSERVED values contain NaN (e.g. n=0 latency buckets) fall
+    # back to the per-key impute path: the vectorized global interp would
+    # otherwise bleed support across key boundaries when a key's grid
+    # endpoint is NaN
+    nan_in = np.isnan(vals_in)
+    nan_keys = (np.add.reduceat(nan_in, starts_in) > 0) \
+        if nan_in.any() else np.zeros(counts.size, dtype=bool)
+
+    if method == "linear":
+        support = ~nan_in
+        if support.any():
+            filled = np.interp(np.arange(N), pos[support], vals_in[support])
+        else:
+            filled = np.zeros(N)
+    elif method == "mid":
+        kmin = np.fmin.reduceat(vals_in, starts_in)
+        kmax = np.fmax.reduceat(vals_in, starts_in)
+        fill = 0.5 * (kmin + kmax)
+        filled = np.where(np.isnan(vals), fill[key_of_out], vals)
+    elif method in ("svd", "als"):
+        nan_keys = np.ones(counts.size, dtype=bool)  # always per-key models
+        filled = vals.copy()
+    else:
+        raise ValueError(f"unknown fill method {method!r}")
+
+    if nan_keys.any():
+        key_rows = g.iloc[starts_in][keys]
+        for i in np.flatnonzero(nan_keys):
+            s, e = out_starts[i], out_starts[i] + counts[i]
+            seed = _key_seed(key_rows.iloc[i].tolist())
+            filled[s:e] = impute_series(vals[s:e], method, k=k, seed=seed)
+
+    out = {c: g[c].to_numpy()[starts_in][key_of_out] for c in keys}
+    out["bucket_ts"] = grid.astype("datetime64[us]")
+    out[value_col] = filled
+    out["observed"] = observed
+    return pd.DataFrame(out)
 
 
 def gap_fill(tier_points: "rd.Dataset", keys, tier: str,
              value_col: str = "mean_value", method: str = "linear",
-             k: int = 5) -> "rd.Dataset":
+             k: int = 5, n_parts: int = 64) -> "rd.Dataset":
     """Dense per-key bucket grid with gaps filled; adds ``observed`` flag.
-    One shuffle on the group key, order restored inside the UDF."""
+    One hash-bucket shuffle (whole keys co-located), then the whole
+    partition densifies/fills vectorized."""
     keys = list(keys)
     cols = keys + ["bucket_ts", value_col]
+    from .rollup import _add_part
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        return _dense_grid_group(g[cols], tier, value_col, method, k)
+        return _gapfill_part(g[cols], keys, tier, value_col, method, k)
 
-    return tier_points.groupby(keys).map_groups(fn, batch_format="pandas")
+    parted = _add_part(tier_points.select_columns(cols), keys[0], n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")

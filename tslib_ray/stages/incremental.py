@@ -24,6 +24,20 @@ import ray.data as rd
 from ..kernels.tscascade import TSModelEnsemble
 
 
+def ensemble_denoised(vals: np.ndarray, k: int, L: int, gamma: float,
+                      T0: int, rect_factor: int) -> np.ndarray:
+    """One series through the sliding TSmodel ensemble; NaN where the
+    ensemble has not yet produced a denoised value. Shared by the Ray group
+    UDFs and the sequential VALUES-oracle builder (oracles.py) so both
+    execute identical math."""
+    ens = TSModelEnsemble(k, L, gamma, T0, rect_factor)
+    ens.update_model(np.asarray(vals, dtype=np.float64))
+    den = ens.denoise_ts()
+    out = np.full(len(vals), np.nan)
+    out[: den.size] = den
+    return out
+
+
 def denoise_per_key(ds: "rd.Dataset", key: str, order_col: str,
                     value_col: str, k: int = 3, L: int = 20,
                     gamma: float = 0.5, T0: int = 200,
@@ -33,17 +47,46 @@ def denoise_per_key(ds: "rd.Dataset", key: str, order_col: str,
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_col, kind="mergesort")
         vals = g[value_col].to_numpy(dtype=np.float64)
-        ens = TSModelEnsemble(k, L, gamma, T0, rect_factor)
-        ens.update_model(vals)
-        den = ens.denoise_ts()
-        out = np.full(vals.size, np.nan)
-        out[: den.size] = den
+        out = ensemble_denoised(vals, k, L, gamma, T0, rect_factor)
         return pd.DataFrame({
             key: g[key].to_numpy(),
             "t": g[order_col].to_numpy(),
             value_col: vals,
             "denoised": out,
         })
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+def denoise_summary_group(g: pd.DataFrame, key: str, order_col: str,
+                          value_col: str, k: int, L: int, gamma: float,
+                          T0: int, rect_factor: int) -> pd.DataFrame:
+    """One key's denoise summary row: (key, n, n_denoised, sum_value,
+    sum_denoised) with sums accumulated in series order (deterministic —
+    enables the hash-compared sequential oracle)."""
+    g = g.sort_values(order_col, kind="mergesort")
+    vals = g[value_col].to_numpy(dtype=np.float64)
+    den = ensemble_denoised(vals, k, L, gamma, T0, rect_factor)
+    r6 = lambda x: np.floor(np.float64(x) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({
+        key: g[key].to_numpy()[:1],
+        "n": np.array([vals.size], dtype=np.int64),
+        "n_denoised": np.array([int(np.isfinite(den).sum())], dtype=np.int64),
+        "sum_value": np.array([r6(vals.sum())]),
+        "sum_denoised": np.array([r6(np.nansum(den))]),
+    })
+
+
+def denoise_summary_per_key(ds: "rd.Dataset", key: str, order_col: str,
+                            value_col: str, k: int = 3, L: int = 20,
+                            gamma: float = 0.5, T0: int = 200,
+                            rect_factor: int = 5) -> "rd.Dataset":
+    """Per-key denoise summary (one row per key) — the oracle-checkable
+    surface of the incremental layer."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return denoise_summary_group(g, key, order_col, value_col, k, L,
+                                     gamma, T0, rect_factor)
 
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
 

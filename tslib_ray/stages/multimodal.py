@@ -28,11 +28,7 @@ def synth_media(n_rows: int, payload_bytes: int = 4096,
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy()
         n_words = payload_bytes // 8
-        payloads = []
-        for i in ids:
-            words = _splitmix64(np.arange(n_words, dtype=np.int64)
-                                + np.int64(i) * 1_000_003 + seed)
-            payloads.append(words.tobytes())
+        payloads = [payload_words(i, n_words, seed).tobytes() for i in ids]
         mt = np.where(ids % 3 == 0, "image/png",
                       np.where(ids % 3 == 1, "image/jpeg", "audio/wav"))
         return pa.table({
@@ -46,6 +42,24 @@ def synth_media(n_rows: int, payload_bytes: int = 4096,
     # small batches: wide binary rows (payload dominates block size)
     return rd.range(n_rows).map_batches(gen, batch_format="pyarrow",
                                         batch_size=256)
+
+
+def payload_words(media_id: int, n_words: int, seed: int) -> np.ndarray:
+    """Deterministic payload stream for one media id (shared by the Ray
+    generator and the sequential oracle builder)."""
+    return _splitmix64(np.arange(n_words, dtype=np.int64)
+                       + np.int64(media_id) * 1_000_003 + seed)
+
+
+def byte_features(buf: bytes) -> tuple[float, float, float]:
+    """(n_bytes, byte-histogram entropy, 8-byte-stride mean) of a payload —
+    the deterministic stand-in feature kernel, shared by the actor stage and
+    the sequential oracle."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    hist = np.bincount(b, minlength=256) / max(1, b.size)
+    nz = hist[hist > 0]
+    return (float(b.size), float(-(nz * np.log2(nz)).sum()),
+            float(b[::8].mean()) if b.size else 0.0)
 
 
 def _decode_image_stub(payload: bytes, media_type: str) -> np.ndarray:
@@ -74,16 +88,11 @@ class MediaFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = np.empty((len(batch), 3), dtype=np.float64)
-        payloads = batch["payload"]
-        for i in range(len(batch)):
-            buf = payloads[i].as_py()
+        payloads = batch["payload"].to_pylist()
+        for i, buf in enumerate(payloads):
             if not self.deterministic:
                 _decode_image_stub(buf, batch["media_type"][i].as_py())
-            b = np.frombuffer(buf, dtype=np.uint8)
-            hist = np.bincount(b, minlength=256) / max(1, b.size)
-            nz = hist[hist > 0]
-            feats[i] = (b.size, float(-(nz * np.log2(nz)).sum()),
-                        float(b[::8].mean()) if b.size else 0.0)
+            feats[i] = byte_features(buf)
         return batch.drop_columns(["payload"]).append_column(
             "n_bytes", pa.array(feats[:, 0], type=pa.float64())
         ).append_column(

@@ -57,7 +57,7 @@ def _solve_one(g: pd.DataFrame, treated: str, k: int, train_end,
         cf = rsc.predict({u: post_p[u][0] for u in donors})
         actual = post_p[treated][0]
         return pd.DataFrame({
-            "metric": metrics[0], "t": t_post,
+            "metric": metrics[0], "t": np.asarray(t_post, dtype=np.int64),
             "actual": actual, "counterfactual": cf,
         })
     mrsc = MultiRobustSyntheticControl(
@@ -67,7 +67,8 @@ def _solve_one(g: pd.DataFrame, treated: str, k: int, train_end,
     mrsc.fit([{u: pre_p[u][i] for u in units} for i in range(len(metrics))])
     cfs = mrsc.predict([{u: post_p[u][i] for u in donors}
                         for i in range(len(metrics))])
-    frames = [pd.DataFrame({"metric": m, "t": t_post,
+    frames = [pd.DataFrame({"metric": m,
+                            "t": np.asarray(t_post, dtype=np.int64),
                             "actual": post_p[treated][i],
                             "counterfactual": cfs[i]})
               for i, m in enumerate(metrics)]
