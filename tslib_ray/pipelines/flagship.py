@@ -24,13 +24,12 @@ import time
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
 
 from ..sources.transcripts import transcripts_from_events
 from ..stages import rollup as R
-from ..stages.encode import encode_tiles
+from ..stages.encode import encode_tiles, encode_tiles_grouped
 from ..stages.gapfill import gap_fill
-from ..state.manifest import Manifest
+from ..state.manifest import Manifest, dataset_fingerprint
 
 
 def tier_points_all(transcripts: "rd.Dataset", key: str = "conv_id",
@@ -56,13 +55,8 @@ def flagship_tiles(transcripts: "rd.Dataset", tier: str = "1h",
 
 
 def _merge_partials(partials: "rd.Dataset", key: str) -> "rd.Dataset":
-    merged = partials.groupby([key, "bucket_ts"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"),
-        Min("min_value", alias_name="min_value"),
-        Max("max_value", alias_name="max_value"),
-        Sum("n", alias_name="n"),
-    )
-    return merged.map_batches(R._finalize, batch_format="pyarrow")
+    # deterministic accumulation order -> reproducible lineage hashes
+    return R.merge_partials_deterministic(partials, [key])
 
 
 def run_resumable(input_files: list[str], out_dir: str, key: str = "user_id",
@@ -90,10 +84,14 @@ def run_resumable(input_files: list[str], out_dir: str, key: str = "user_id",
         ds = rd.read_parquet(files, columns=[key, ts_col, value_col])
         partial = ds.map_batches(
             lambda b: R._partial_batch(b, [key], ts_col, value_col, "1m"),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
         partial.write_parquet(path)
-        n = rd.read_parquet(path).count()
-        man.mark(part, rows=n, inputs=files, wall_s=time.time() - t1)
+        # lineage from the SAME materialized blocks the write consumed —
+        # no re-read (VERDICT r01 item 9)
+        fp = dataset_fingerprint(partial)
+        man.mark(part, rows=fp["rows"], inputs=files,
+                 content_hash=fp["content_hash"], min_ts=fp["min_ts"],
+                 max_ts=fp["max_ts"], wall_s=time.time() - t1)
 
     tiers = {}
     finer = None
@@ -110,28 +108,31 @@ def run_resumable(input_files: list[str], out_dir: str, key: str = "user_id",
                     rd.read_parquet(os.path.join(out_dir, "partials")), key)
                     if tier == "1m" else rd.read_parquet(
                         os.path.join(out_dir, f"tiers/{_finer_of(tier)}")))
-            pts = finer if tier == "1m" else R.cascade(finer, [key], tier)
+            pts = (finer if tier == "1m"
+                   else R.cascade(finer, [key], tier)).materialize()
             pts.write_parquet(path)
-            n = rd.read_parquet(path).count()
-            tiers[tier] = n
-            man.mark(part, rows=n,
+            fp = dataset_fingerprint(pts)
+            tiers[tier] = fp["rows"]
+            man.mark(part, rows=fp["rows"],
                      inputs=[os.path.join(out_dir, "partials")],
-                     wall_s=time.time() - t1)
+                     content_hash=fp["content_hash"], min_ts=fp["min_ts"],
+                     max_ts=fp["max_ts"], wall_s=time.time() - t1)
         # tiles per tier from the written points (read back -> no recompute)
         tile_part = f"tiles/{tier}"
         if not man.done(tile_part):
             t1 = time.time()
             shutil.rmtree(os.path.join(out_dir, tile_part),
                           ignore_errors=True)
+            # whole-key grouped encode: tile boundaries depend only on the
+            # data (never on batch/block layout), so tile content_hashes are
+            # reproducible across runs — required for the resume-lineage test
             pts_disk = rd.read_parquet(path)
-            clustered = pts_disk.groupby([key]).map_groups(
-                lambda g: g.sort_values("bucket_ts", kind="mergesort"),
-                batch_format="pandas")
-            tiles = encode_tiles(clustered, [key], tier,
-                                 concurrency=encode_concurrency)
+            tiles = encode_tiles_grouped(pts_disk, [key], tier).materialize()
             tiles.write_parquet(os.path.join(out_dir, tile_part))
-            man.mark(tile_part, rows=tiles.count(), inputs=[path],
-                     wall_s=time.time() - t1)
+            fp = dataset_fingerprint(tiles, ts_col="tile_start_ts")
+            man.mark(tile_part, rows=fp["rows"], inputs=[path],
+                     content_hash=fp["content_hash"], min_ts=fp["min_ts"],
+                     max_ts=fp["max_ts"], wall_s=time.time() - t1)
         finer = rd.read_parquet(path)
     return {"shards": len(shards), "skipped_shards": skipped,
             "tiers": tiers, "wall_s": time.time() - t0}

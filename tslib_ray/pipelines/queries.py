@@ -427,19 +427,31 @@ _PRICING_SQL = """
 
 
 def q_top_customers(sf_dir: str):
-    """Broadcast hash join: customer (small side) is fetched once and joined
-    inside the final (tiny) aggregate result — no shuffle join."""
+    """Distributed top-k (VERDICT r01 item 5): per-block top-10 partials of
+    the per-customer aggregate, then a tiny driver merge of <= 10*blocks
+    candidate rows; only the FINAL 10 rows join the (small, driver-read)
+    customer dimension for names. No full customer materialization."""
     from ray.data.aggregate import Sum
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     rev = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="revenue")).to_pandas()
+        Sum("o_totalprice", alias_name="revenue"))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["revenue"] = r6(df["revenue"].to_numpy())
+        df = df.sort_values(["revenue", "o_custkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = rev.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["revenue", "o_custkey"],
+                           ascending=[False, True],
+                           kind="mergesort").head(10)
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
-    out = rev.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    out["revenue"] = r6(out["revenue"].to_numpy())
-    out = out.sort_values(["revenue", "c_custkey"],
-                          ascending=[False, True]).head(10)
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
     return out[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
@@ -923,6 +935,36 @@ _MATMUL_SQL = """
     FROM A a JOIN A b ON a.j = b.j GROUP BY 1, 2"""
 
 
+def q_matmul_large(sf_dir: str):
+    """Large-by-large distributed matmul (no broadcast side): A (60x45) @
+    B (45x30), both lineitem-derived Datasets, via the k-bucket co-partition
+    path (stages/matrix.py matmul — VERDICT r01 item 10)."""
+    from tslib_ray.stages import matrix as MX
+    A = _lineitem_matrix(sf_dir, rows=60, cols=45)
+    B = _lineitem_matrix(sf_dir, rows=45, cols=30)
+    out = MX.matmul(A, B)
+
+    def r4(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("val")
+        return b.set_column(i, "val", pc.divide(
+            pc.floor(pc.add(pc.multiply(b["val"], pa.scalar(1e4)),
+                            pa.scalar(0.5))), pa.scalar(1e4)))
+
+    return out.map_batches(r4, batch_format="pyarrow")
+
+
+_MATMUL_LARGE_SQL = """
+    WITH A AS (SELECT l_orderkey % 60 AS i, l_partkey % 45 AS j,
+                      SUM(l_quantity) AS val
+               FROM lineitem GROUP BY 1, 2),
+         B AS (SELECT l_orderkey % 45 AS i, l_partkey % 30 AS j,
+                      SUM(l_quantity) AS val
+               FROM lineitem GROUP BY 1, 2)
+    SELECT a.i AS i, b.j AS j,
+           FLOOR(SUM(a.val * b.val) * 10000 + 0.5) / 10000 AS val
+    FROM A a JOIN B b ON a.j = b.i GROUP BY 1, 2"""
+
+
 def q_matrix_add(sf_dir: str):
     from tslib_ray.stages import matrix as MX
     A = _lineitem_matrix(sf_dir)
@@ -1008,6 +1050,7 @@ QUERIES: dict = {
     "gorilla_roundtrip_1h": (q_gorilla_roundtrip_1h, _ROUNDTRIP_SQL),
     "matrix_matmul": (q_matrix_matmul, _MATMUL_SQL),
     "matrix_add": (q_matrix_add, _MATRIX_ADD_SQL),
+    "matmul_large": (q_matmul_large, _MATMUL_LARGE_SQL),
     "rollup_tiers_all": (q_rollup_tiers_all, _TIERS_ALL_SQL),
     "rate_tool_1d": (q_rate_tool_1d, _RATE_TOOL_SQL),
     "top_events_per_user": (q_top_events_per_user, _TOP_EVENTS_SQL),

@@ -14,6 +14,39 @@ import numpy as np
 import pandas as pd
 
 
+def panel_from_csv(path, unit_col: str, time_col: str, value_col: str,
+                   filter_col: str | None = None,
+                   filter_value: str | None = None,
+                   metric: str = "m0",
+                   experiment_id: str = "e0"):
+    """CSV -> long panel Dataset ``(experiment_id, unit, metric, t, value)``
+    — the reference's ``pd.read_csv`` + row filter + ``pd.pivot_table``
+    ingestion (``/root/reference/tests/testScriptSynthControlSVD.py:29-30,
+    106-108``) re-expressed streaming: the wide pivot is never materialized;
+    RSC's per-experiment group UDF (stages/panel.py) assembles its own small
+    matrix, so ingestion stays a stateless vectorized map at any scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    ds = rd.read_csv(path)
+
+    def derive(b: pa.Table) -> pa.Table:
+        if filter_col is not None:
+            b = b.filter(pc.equal(b[filter_col], filter_value))
+        n = len(b)
+        return pa.table({
+            "experiment_id": pa.array([experiment_id] * n),
+            "unit": pc.cast(b[unit_col], pa.string()),
+            "metric": pa.array([metric] * n),
+            "t": pc.cast(b[time_col], pa.int64()),
+            "value": pc.cast(b[value_col], pa.float64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
 def synth_panel(n_donors: int = 16, n_t: int = 40, train_end: int = 30,
                 rank: int = 3, effect: float = 1.5, noise_sd: float = 0.05,
                 n_metrics: int = 1, n_experiments: int = 1,

@@ -24,10 +24,18 @@ import ray.data as rd
 
 
 def _to_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (zero-copy when possible)."""
+    """list<float> (or Ray tensor-extension) column -> (n, d) float64 matrix
+    (zero-copy when possible)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    try:
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    except AttributeError:
+        # ArrowTensorArray (Ray's extension for fixed-shape ndarray columns)
+        m = np.asarray(arr.to_numpy(zero_copy_only=False))
+        if m.dtype == object:
+            m = np.stack(m) if n else np.empty((0, 0))
+        return m.astype(np.float64)
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 

