@@ -892,21 +892,24 @@ def _fingerprint_sql(window: int = 8) -> str:
 
 def _lineitem_matrix(sf_dir: str, rows: int = 20, cols: int = 15):
     """Deterministic small matrix derived from lineitem:
-    A[i,j] = sum(l_quantity) over (l_orderkey%rows, l_partkey%cols)."""
+    A[i,j] = sum(l_quantity) over (l_orderkey%rows, l_partkey%cols).
+    Map-side combine collapses each 600k-row read batch to <= rows*cols
+    partial cells BEFORE the shuffle (l_quantity sums are exact on the 0.01
+    grid, so partial order is irrelevant); the final aggregate then moves a
+    few thousand rows instead of the whole table."""
     from ray.data.aggregate import Sum
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey", "l_quantity"])
 
-    def project(b: pa.Table) -> pa.Table:
-        import numpy as np
-        i = b["l_orderkey"].to_numpy() % rows
-        j = b["l_partkey"].to_numpy() % cols
-        return pa.table({"i": pa.array(i), "j": pa.array(j),
-                         "val": b["l_quantity"]})
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"i": pa.array(b["l_orderkey"].to_numpy() % rows),
+                      "j": pa.array(b["l_partkey"].to_numpy() % cols),
+                      "val": b["l_quantity"]})
+        out = t.group_by(["i", "j"]).aggregate([("val", "sum")])
+        return out.rename_columns(["i", "j", "val"])
 
-    out = ds.map_batches(project, batch_format="pyarrow") \
-        .groupby(["i", "j"]).aggregate(Sum("val", alias_name="val"))
-    return out
+    return R.hash_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["i", "j"], {"val": "sum"})
 
 
 def q_matrix_matmul(sf_dir: str):

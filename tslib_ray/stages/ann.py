@@ -206,6 +206,12 @@ def cosine_pairs_exact(embeddings: "rd.Dataset", threshold: float = 0.95,
     because the Dataset API cannot express a block cross-product
     (SURVEY.md §4.2 last-resort rule)."""
     narrow = embeddings.select_columns([id_col, vec_col])
+    # block-pair task count is B(B+1)/2 — size B to ~4k vectors per block
+    # (a read can surface hundreds of tiny blocks; unrepartitioned that is
+    # tens of thousands of ~ms tasks, measured 74s -> 3s at sf0.1)
+    n = narrow.count()
+    target_blocks = max(1, -(-n // 4096))
+    narrow = narrow.repartition(target_blocks)
     refs = narrow.to_arrow_refs()
 
     @ray.remote

@@ -82,8 +82,9 @@ def _merge_elementwise(a: "rd.Dataset", b: "rd.Dataset",
         import pyarrow.compute as pc
         return t.set_column(t.column_names.index("val"), "val",
                             pc.multiply(t["val"], pa.scalar(sign)))
+    from .rollup import hash_merge
     both = a.union(b.map_batches(scale, batch_format="pyarrow"))
-    return both.groupby(["i", "j"]).aggregate(Sum("val", alias_name="val"))
+    return hash_merge(both, ["i", "j"], {"val": "sum"})
 
 
 def add(a: "rd.Dataset", b: "rd.Dataset") -> "rd.Dataset":
@@ -121,8 +122,9 @@ def matmul_broadcast(a: "rd.Dataset", b_df: pd.DataFrame,
                          "j": pa.array(jj.astype(np.int64)),
                          "val": pa.array(P[ii, jj])})
 
+    from .rollup import hash_merge
     partials = a.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["i", "j"]).aggregate(Sum("val", alias_name="val"))
+    return hash_merge(partials, ["i", "j"], {"val": "sum"})
 
 
 def matmul(a: "rd.Dataset", b: "rd.Dataset", const: float = 1.0,
@@ -185,9 +187,10 @@ def matmul(a: "rd.Dataset", b: "rd.Dataset", const: float = 1.0,
         return pd.DataFrame({"i": rows[ii], "j": cols[jj],
                              "val": P[ii, jj]})
 
+    from .rollup import hash_merge
     partials = tagged.groupby("_part").map_groups(
         lambda g: partial(g.drop(columns=["_part"])), batch_format="pandas")
-    return partials.groupby(["i", "j"]).aggregate(Sum("val", alias_name="val"))
+    return hash_merge(partials, ["i", "j"], {"val": "sum"})
 
 
 def random_matrix_ds(n: int, m: int, mean: float = 0.0, sd: float = 1.0,
