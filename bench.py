@@ -223,9 +223,75 @@ def run_scaling(repeats: int | None = None) -> dict:
     }
 
 
+DOCS_PATH = os.environ.get("GRAFT_DOCS_INPUT", "/tmp/graft_bench/documents")
+DOCS_N = int(os.environ.get("GRAFT_DOCS_N", "1000000"))
+
+
+def run_docs_scale() -> dict:
+    """Dedup/text stack at corpus scale (the driver's documents table caps at
+    5k rows — noise-dominated): 10^6 synthetic docs with planted near-dups,
+    timing exact dedup, MinHash-LSH end-to-end (distributed verify), and the
+    vectorized text kernels. Same JSON-line contract."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    _tune_context(ctx)
+    import ray.data as rd
+    from tslib_ray.sources.documents import synth_documents
+    from tslib_ray.stages.dedup import dedup_exact_ids, dedup_minhash
+    from tslib_ray.stages.text import quality_score, text_stats
+
+    if not (os.path.isdir(DOCS_PATH) and os.listdir(DOCS_PATH)):
+        synth_documents(DOCS_N).write_parquet(DOCS_PATH)
+    docs = rd.read_parquet(DOCS_PATH)
+    n_docs = docs.count()  # warm workers + page cache
+
+    def timed(fn, consume="count"):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            n = out.count() if consume == "count" else len(out)
+            best = (min(best[0], time.perf_counter() - t0), n) if best \
+                else (time.perf_counter() - t0, n)
+        return round(best[0], 2), int(best[1])
+
+    t_exact, n_exact = timed(
+        lambda: dedup_exact_ids(rd.read_parquet(DOCS_PATH)))
+    t_text, _ = timed(lambda: text_stats(rd.read_parquet(DOCS_PATH)))
+    t_q, _ = timed(lambda: quality_score(rd.read_parquet(DOCS_PATH),
+                                         concurrency=NUM_CPUS - 2))
+    t_mh, n_mh = timed(lambda: dedup_minhash(
+        rd.read_parquet(DOCS_PATH), num_partitions=NUM_CPUS // 2))
+    out = {
+        "metric": "dedup/text stack at 10^6-doc scale",
+        "value": t_mh,
+        "unit": "sec",
+        "n_docs": int(n_docs),
+        "queries": {
+            "dedup_exact_ids": t_exact,
+            "text_stats": t_text,
+            "quality_score": t_q,
+            "minhash_dedup": t_mh,
+        },
+        "kept_exact": n_exact,
+        "kept_minhash": n_mh,
+        "docs_per_sec_minhash": round(n_docs / t_mh, 1),
+        "num_cpus": NUM_CPUS,
+        "loadavg_1m": round(os.getloadavg()[0], 1),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--docs-scale" in sys.argv:
+        print(json.dumps(run_docs_scale()))
     elif os.environ.get("GRAFT_SCALING_MODE"):
         print(json.dumps(run_headline_synth()))
     else:

@@ -153,3 +153,21 @@ def test_panel_from_csv_rsc(tmp_path):
     # counterfactual tracks the known pre-effect mean (planted effect = 1.5)
     err = np.abs(out.sort_values("t")["counterfactual"].to_numpy() - cf_true)
     assert err.mean() < 0.5
+
+
+def test_synth_documents_deterministic_and_planted():
+    from tslib_ray.sources.documents import synth_documents
+    a = synth_documents(2000, parallelism=1).to_pandas()
+    b = synth_documents(2000, parallelism=7).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # byte-identical at any parallelism
+    # planted near-dups: a visible fraction is near-identical to an earlier doc
+    from tslib_ray.stages.dedup import jaccard
+    import numpy as np
+    dup_like = 0
+    for i in range(1900, 2000):
+        t = a["text"].iloc[i]
+        best = max(jaccard(t, a["text"].iloc[j]) for j in range(0, 200))
+        dup_like += best > 0.8
+    assert dup_like >= 1  # tail samples include planted copies of early docs
