@@ -19,7 +19,8 @@ import ray.data as rd
 from ..sources.transcripts import transcripts_from_events
 from ..stages import rollup as R
 from ..stages.ann import knn_brute, knn_ivf, cosine_dedup, cosine_pairs_exact
-from ..stages.dedup import dedup_exact_ids, dedup_minhash, dedup_simhash
+from ..stages.dedup import (dedup_exact_ids, dedup_minhash,
+                            dedup_minhash_ids, dedup_simhash)
 from ..stages.encode import decode_tiles_to_points, encode_tiles
 from ..stages.gapfill import gap_fill
 from ..stages.sessionize import session_stats
@@ -716,8 +717,10 @@ _ROUNDTRIP_SQL = """
 
 
 def q_minhash_dedup(sf_dir: str):
-    return dedup_minhash(_docs(sf_dir, ["doc_id", "text"]),
-                         threshold=0.8).select_columns(["doc_id"])
+    # ids-only narrow path: the driver compare needs just doc_id, so the
+    # final anti-join is a co-partitioned set-difference, not a payload join
+    return dedup_minhash_ids(_docs(sf_dir, ["doc_id", "text"]),
+                             threshold=0.8)
 
 
 def _minhash_sql(threshold: float = 0.8, k: int = 3) -> str:

@@ -213,18 +213,18 @@ class MinHasher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = self._batch_signatures(batch["text"])
-        out = {
-            "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
-            "band": np.tile(np.arange(self.bands, dtype=np.int32),
-                            len(batch)),
-        }
         band_sigs = sigs.reshape(len(batch), self.bands, self.rows_per_band)
-        # 64-bit mix of each band's rows
-        mix = band_sigs[:, :, 0].copy()
-        for r in range(1, self.rows_per_band):
+        # 64-bit mix of each band's rows, with the band INDEX folded into the
+        # bucket key (seeded initial value) — halves the shuffled signature
+        # row width vs a separate band column; a cross-band key collision
+        # merely adds candidate pairs, which the exact verify filters
+        mix = (np.arange(self.bands, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15))[None, :].repeat(len(batch), axis=0)
+        for r in range(self.rows_per_band):
             mix = mix * _U64(0x100000001B3) ^ band_sigs[:, :, r]
-        out["band_hash"] = mix.reshape(-1)
-        return pd.DataFrame(out)
+        return pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), self.bands),
+            "band_hash": mix.reshape(-1),
+        })
 
 
 def _rolling_shingles(texts: pd.Series, k: int):
@@ -325,13 +325,9 @@ def minhash_lsh_pairs(docs: "rd.Dataset", num_perm: int = 64,
         return b
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
-        # bucket code: dense factorization of (band, band_hash) over the
-        # sorted frame — boundaries where either changes
-        band = g["band"].to_numpy()
+        g = g.sort_values(["band_hash", "doc_id"], kind="mergesort")
         bh = g["band_hash"].to_numpy()
-        codes = np.cumsum(np.concatenate(
-            ([False], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]))))
+        codes = np.cumsum(np.concatenate(([False], bh[1:] != bh[:-1])))
         d, c = _bucket_pairs(g["doc_id"].to_numpy(), codes, max_mates)
         return pd.DataFrame({"doc_id": d, "cand_id": c}).drop_duplicates()
 
@@ -398,6 +394,53 @@ def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
         .groupby("_part").map_groups(
             lambda g: g.drop(columns=["_part"]).drop_duplicates(),
             batch_format="pandas")
+
+
+def dedup_minhash_ids(docs: "rd.Dataset", threshold: float = 0.8,
+                      num_perm: int = 64, shingle_k: int = 3,
+                      bands: int = 32, concurrency: int | None = None,
+                      max_mates: int = 8, n_parts: int = 32,
+                      num_partitions: int = 8) -> "rd.Dataset":
+    """Kept doc ids only (narrow end-to-end): the anti-join against the
+    dropped set runs as a co-partitioned set-difference on (id, flag) rows —
+    one int-key shuffle, no join actor pool, and the text payload never
+    moves after the verify stage."""
+    cands = minhash_lsh_pairs(docs, num_perm=num_perm, shingle_k=shingle_k,
+                              bands=bands, concurrency=concurrency,
+                              max_mates=max_mates)
+    dropped = verify_pairs_jaccard(docs, cands, threshold,
+                                   shingle_k=shingle_k,
+                                   num_partitions=num_partitions)
+
+    def ids_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        return pa.table({
+            "doc_id": ids,
+            "_d": pa.array(np.zeros(len(b), dtype=np.int8)),
+            "_part": pa.array((ids.to_numpy(zero_copy_only=False)
+                               % n_parts).astype(np.int32)),
+        })
+
+    def dropped_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "_d": pa.array(np.ones(len(b), dtype=np.int8)),
+            "_part": pa.array((ids % n_parts).astype(np.int32)),
+        })
+
+    both = docs.select_columns(["doc_id"]).map_batches(
+        ids_side, batch_format="pyarrow").union(
+        dropped.map_batches(dropped_side, batch_format="pyarrow"))
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        drop = g.loc[g["_d"] == 1, "doc_id"]
+        keep = g.loc[g["_d"] == 0, "doc_id"]
+        return pd.DataFrame({"doc_id": np.sort(
+            keep[~keep.isin(drop)].to_numpy())})
+
+    return both.groupby("_part").map_groups(
+        lambda g: diff(g.drop(columns=["_part"])), batch_format="pandas")
 
 
 def dedup_minhash(docs: "rd.Dataset", threshold: float = 0.8,
