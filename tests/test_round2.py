@@ -171,3 +171,22 @@ def test_synth_documents_deterministic_and_planted():
         best = max(jaccard(t, a["text"].iloc[j]) for j in range(0, 200))
         dup_like += best > 0.8
     assert dup_like >= 1  # tail samples include planted copies of early docs
+
+
+def test_ivf_recall_at_partial_probe():
+    """IVF with n_probe < n_centroids keeps high recall on clustered data
+    (the scale path's contract; exact equality at full probe is SQL-checked
+    by the driver)."""
+    from tslib_ray.stages.ann import knn_brute, knn_ivf
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 32)) * 4
+    assign = rng.integers(0, 8, size=2000)
+    m = centers[assign] + rng.normal(size=(2000, 32))
+    df = pd.DataFrame({"vec_id": np.arange(2000, dtype=np.int64),
+                       "embedding": list(m.astype(np.float64))})
+    ds = rd.from_pandas(df)
+    q = m[7][None, :]
+    brute = knn_brute(ds, q, k=10)["vec_id"].tolist()
+    ivf = knn_ivf(ds, q, k=10, n_centroids=16, n_probe=4)["vec_id"].tolist()
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.9, recall

@@ -56,6 +56,10 @@ def values_sql(df: pd.DataFrame) -> str:
     """Render a small frame as ``SELECT * FROM (VALUES ...) t(cols)`` with
     first-row casts pinning the column types."""
     cols = list(df.columns)
+    if len(df) == 0:  # VALUES with zero tuples is a syntax error
+        sel = ", ".join(f"CAST(NULL AS {_CAST[str(df[c].dtype)]}) AS {c}"
+                        for c in cols)
+        return f"SELECT {sel} WHERE 1 = 0"
     rows = []
     for ri, (_, row) in enumerate(df.iterrows()):
         cells = []

@@ -355,6 +355,27 @@ def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
     the vectorized shingle machinery. Returns distinct ``(doc_id)`` rows of
     docs with a verified duplicate of smaller id."""
     texts = docs.select_columns([id_col, text_col])
+    # adaptive semi-filter: the docs side of both joins only needs the ids
+    # that appear in some pair. When the candidate set is small enough to
+    # broadcast (the common case — pairs are bounded by max_mates * dup
+    # density), prefilter the 10^6..10^9-row text table down to it BEFORE
+    # the hash joins, so full texts never enter the exchange (measured 58s
+    # -> ~8s at 1M docs / 50k pairs). Above the threshold, fall back to the
+    # plain joins (the join itself is then the filter).
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if 0 < n_pairs <= 2_000_000:
+        import ray as _ray
+        pdf = pairs.to_pandas()
+        need = np.union1d(pdf["doc_id"].to_numpy(),
+                          pdf["cand_id"].to_numpy())
+        need_ref = _ray.put(pa.array(need, type=pa.int64()))
+
+        def prefilter(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[id_col],
+                                     value_set=_ray.get(need_ref)))
+
+        texts = texts.map_batches(prefilter, batch_format="pyarrow")
     j1 = _join(pairs, texts, join_type="inner",
                num_partitions=num_partitions, on=("cand_id",),
                right_on=(id_col,), right_suffix="_r")
