@@ -190,3 +190,15 @@ def test_ivf_recall_at_partial_probe():
     ivf = knn_ivf(ds, q, k=10, n_centroids=16, n_probe=4)["vec_id"].tolist()
     recall = len(set(brute) & set(ivf)) / 10
     assert recall >= 0.9, recall
+
+
+def test_ngram_exact_equals_minhash_on_synthetic():
+    """The exact all-pairs Jaccard dedup and the 32x2 LSH path must agree
+    (LSH miss probability ~1e-15 at the planted similarity levels) —
+    cross-validates the LSH recall claim."""
+    from tslib_ray.sources.documents import synth_documents
+    from tslib_ray.stages.dedup import dedup_minhash_ids, ngram_jaccard_dedup_ids
+    docs = synth_documents(3000)
+    a = ngram_jaccard_dedup_ids(docs).to_pandas()["doc_id"].tolist()
+    b = dedup_minhash_ids(docs).to_pandas()["doc_id"].tolist()
+    assert sorted(a) == sorted(b)

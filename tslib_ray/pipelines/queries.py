@@ -20,7 +20,8 @@ from ..sources.transcripts import transcripts_from_events
 from ..stages import rollup as R
 from ..stages.ann import knn_brute, knn_ivf, cosine_dedup, cosine_pairs_exact
 from ..stages.dedup import (dedup_exact_ids, dedup_minhash,
-                            dedup_minhash_ids, dedup_simhash)
+                            dedup_minhash_ids, dedup_simhash,
+                            ngram_jaccard_dedup_ids)
 from ..stages.encode import decode_tiles_to_points, encode_tiles
 from ..stages.gapfill import gap_fill
 from ..stages.sessionize import session_stats
@@ -740,6 +741,14 @@ def _minhash_sql(threshold: float = 0.8, k: int = 3) -> str:
               / len(list_distinct(a.sh || b.sh)) >= {threshold})"""
 
 
+def q_ngram_jaccard_dedup(sf_dir: str):
+    """EXACT all-pairs n-gram Jaccard dedup (no LSH): must equal the same
+    all-pairs oracle the minhash query uses — and therefore also
+    cross-validates the LSH path's recall."""
+    return ngram_jaccard_dedup_ids(_docs(sf_dir, ["doc_id", "text"]),
+                                   threshold=0.8)
+
+
 def q_simhash_candidates(sf_dir: str):
     return dedup_simhash(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -1078,6 +1087,7 @@ QUERIES: dict = {
     "gap_fill_linear": (q_gap_fill_linear, _GAP_FILL_LINEAR_SQL),
     "gorilla_tiles_1h": (q_gorilla_tiles_1h, _TILES_SQL),
     "minhash_dedup": (q_minhash_dedup, _minhash_sql()),
+    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, _minhash_sql()),
     "simhash_candidates": (q_simhash_candidates, _SIMHASH_SQL),
     "embedding_dedup": (q_embedding_dedup, _EMB_DEDUP_SQL),
     "knn_ivf": (q_knn_ivf, _ANN_IVF_SQL),

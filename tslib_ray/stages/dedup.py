@@ -417,51 +417,137 @@ def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
             batch_format="pandas")
 
 
+def ids_difference(docs: "rd.Dataset", dropped: "rd.Dataset",
+                   n_parts: int = 32, id_col: str = "doc_id") -> "rd.Dataset":
+    """``doc ids minus dropped ids`` as a co-partitioned set-difference on
+    (id, flag) rows — one int-key shuffle, no join actor pool, text payload
+    never moves."""
+
+    def side(b: pa.Table, flag: int) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "_d": pa.array(np.full(len(b), flag, dtype=np.int8)),
+            "_part": pa.array((ids % n_parts).astype(np.int32)),
+        })
+
+    both = docs.select_columns([id_col]).map_batches(
+        lambda b: side(b, 0), batch_format="pyarrow").union(
+        dropped.map_batches(lambda b: side(b, 1), batch_format="pyarrow"))
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        drop = g.loc[g["_d"] == 1, id_col]
+        keep = g.loc[g["_d"] == 0, id_col]
+        return pd.DataFrame({id_col: np.sort(
+            keep[~keep.isin(drop)].to_numpy())})
+
+    return both.groupby("_part").map_groups(
+        lambda g: diff(g.drop(columns=["_part"])), batch_format="pandas")
+
+
 def dedup_minhash_ids(docs: "rd.Dataset", threshold: float = 0.8,
                       num_perm: int = 64, shingle_k: int = 3,
                       bands: int = 32, concurrency: int | None = None,
                       max_mates: int = 8, n_parts: int = 32,
                       num_partitions: int = 8) -> "rd.Dataset":
-    """Kept doc ids only (narrow end-to-end): the anti-join against the
-    dropped set runs as a co-partitioned set-difference on (id, flag) rows —
-    one int-key shuffle, no join actor pool, and the text payload never
-    moves after the verify stage."""
+    """Kept doc ids only (narrow end-to-end): see :func:`ids_difference`."""
     cands = minhash_lsh_pairs(docs, num_perm=num_perm, shingle_k=shingle_k,
                               bands=bands, concurrency=concurrency,
                               max_mates=max_mates)
     dropped = verify_pairs_jaccard(docs, cands, threshold,
                                    shingle_k=shingle_k,
                                    num_partitions=num_partitions)
+    return ids_difference(docs, dropped, n_parts=n_parts)
 
-    def ids_side(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"]
-        return pa.table({
-            "doc_id": ids,
-            "_d": pa.array(np.zeros(len(b), dtype=np.int8)),
-            "_part": pa.array((ids.to_numpy(zero_copy_only=False)
-                               % n_parts).astype(np.int32)),
-        })
 
-    def dropped_side(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "_d": pa.array(np.ones(len(b), dtype=np.int8)),
-            "_part": pa.array((ids % n_parts).astype(np.int32)),
-        })
+def _posting_intersections(shA: np.ndarray, docA: np.ndarray,
+                           shB: np.ndarray, docB: np.ndarray):
+    """Common-shingle counts per (docA, docB) pair via a fully vectorized
+    sorted equi-join over the two posting lists (numpy-only sparse
+    S_A @ S_B^T). Safe for skewed shingles: the cross-product expansion per
+    matched shingle is |docsA(s)| x |docsB(s)|, which stays tiny when
+    shingles are near-unique (typical text)."""
+    oa = np.argsort(shA, kind="stable")
+    shA, docA = shA[oa], docA[oa]
+    ob = np.argsort(shB, kind="stable")
+    shB, docB = shB[ob], docB[ob]
+    uA, iA = np.unique(shA, return_index=True)
+    cA = np.diff(np.append(iA, shA.size))
+    uB, iB = np.unique(shB, return_index=True)
+    cB = np.diff(np.append(iB, shB.size))
+    _, ia, ib = np.intersect1d(uA, uB, assume_unique=True,
+                               return_indices=True)
+    if ia.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    nA, nB = cA[ia], cB[ib]
+    tot = nA * nB
+    total = int(tot.sum())
+    off = np.cumsum(tot) - tot
+    m_of = np.repeat(np.arange(ia.size), tot)
+    local = np.arange(total) - off[m_of]
+    a_pos = iA[ia][m_of] + local // nB[m_of]
+    b_pos = iB[ib][m_of] + local % nB[m_of]
+    da, db = docA[a_pos], docB[b_pos]
+    order = np.lexsort((db, da))
+    da, db = da[order], db[order]
+    boundary = np.concatenate(
+        ([True], (da[1:] != da[:-1]) | (db[1:] != db[:-1])))
+    idx = np.flatnonzero(boundary)
+    counts = np.diff(np.append(idx, da.size))
+    return da[idx], db[idx], counts
 
-    both = docs.select_columns(["doc_id"]).map_batches(
-        ids_side, batch_format="pyarrow").union(
-        dropped.map_batches(dropped_side, batch_format="pyarrow"))
 
-    def diff(g: pd.DataFrame) -> pd.DataFrame:
-        drop = g.loc[g["_d"] == 1, "doc_id"]
-        keep = g.loc[g["_d"] == 0, "doc_id"]
-        return pd.DataFrame({"doc_id": np.sort(
-            keep[~keep.isin(drop)].to_numpy())})
+def ngram_jaccard_dedup_ids(docs: "rd.Dataset", threshold: float = 0.8,
+                            shingle_k: int = 3, n_parts: int = 32,
+                            block_rows: int = 4096) -> "rd.Dataset":
+    """EXACT all-pairs n-gram (token k-shingle) Jaccard dedup: keep the ids
+    with no smaller-id doc at Jaccard >= threshold. One Ray task per
+    unordered block pair; within a task, pair intersection sizes come from
+    the vectorized posting-list equi-join (no LSH, no per-pair loop) — the
+    exact counterpart of :func:`dedup_minhash_ids`, O(n^2/B) by nature, for
+    corpora (or within-cluster verification) where exact recall is required.
+    Shares the all-pairs DuckDB oracle with the minhash query."""
+    import ray
 
-    return both.groupby("_part").map_groups(
-        lambda g: diff(g.drop(columns=["_part"])), batch_format="pandas")
+    narrow = docs.select_columns(["doc_id", "text"])
+    n = narrow.count()
+    narrow = narrow.repartition(max(1, -(-n // block_rows)))
+    refs = narrow.to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        import pandas as pd
+
+        def postings(t):
+            sets = _batch_shingle_sets(t["text"].to_pandas(), shingle_k)
+            sizes = np.array([s.size for s in sets], dtype=np.int64)
+            sh = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+            doc = np.repeat(np.arange(len(sets)), sizes)
+            return sh, doc, sizes, t["doc_id"].to_numpy()
+
+        shA, dA, szA, idsA = postings(ta)
+        shB, dB, szB, idsB = (postings(tb) if not same
+                              else (shA, dA, szA, idsA))
+        pa_, pb_, inter = _posting_intersections(shA, dA, shB, dB)
+        sa, sb = szA[pa_], szB[pb_]       # set sizes aligned to the pairs
+        ia, ib = idsA[pa_], idsB[pb_]
+        keep = (ia > ib) if same else (ia != ib)  # one orientation per pair
+        ia, ib, inter, sa, sb = (x[keep] for x in (ia, ib, inter, sa, sb))
+        jac = inter / np.maximum(sa + sb - inter, 1)
+        sel = jac >= threshold
+        doc = np.maximum(ia[sel], ib[sel])
+        root = np.minimum(ia[sel], ib[sel])
+        df = pd.DataFrame({"doc_id": doc, "dup_root": root}).drop_duplicates()
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            type=pa.int64()),
+                         "dup_root": pa.array(df["dup_root"].to_numpy(),
+                                              type=pa.int64())})
+
+    tasks = [block_pair.remote(refs[i], refs[j], i == j)
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    dropped = rd.from_arrow_refs(tasks).select_columns(["doc_id"])
+    return ids_difference(docs, dropped, n_parts=n_parts)
 
 
 def dedup_minhash(docs: "rd.Dataset", threshold: float = 0.8,
