@@ -629,7 +629,7 @@ class SimHasher:
 
 
 def dedup_simhash(docs: "rd.Dataset", max_hamming: int = 3,
-                  concurrency: int = 2, max_mates: int = 16,
+                  concurrency: int | None = None, max_mates: int = 16,
                   n_parts: int = 32) -> "rd.Dataset":
     """SimHash near-dup candidates ``(doc_id, dup_root)``: dup_root is the
     smallest-id doc sharing a 16-bit band (4 bands; two sigs within
@@ -637,8 +637,15 @@ def dedup_simhash(docs: "rd.Dataset", max_hamming: int = 3,
     — the relation the DuckDB oracle reproduces with ``md5_number_lower`` +
     ``bit_count``. Pair generation is capped at ``max_mates`` smallest
     bucket-mates (safe-biased, module docstring)."""
-    sigs = docs.map_batches(SimHasher, batch_format="pandas",
-                            concurrency=concurrency)
+    if concurrency is None:
+        # stateless tasks by default (no trained state; avoids actor-pool
+        # spinup latency and small-session starvation — same tradeoff as
+        # MinHasher / encode_tiles)
+        sh = SimHasher()
+        sigs = docs.map_batches(lambda b: sh(b), batch_format="pandas")
+    else:
+        sigs = docs.map_batches(SimHasher, batch_format="pandas",
+                                concurrency=concurrency)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         sh = batch["simhash"].to_numpy(dtype=np.uint64)
