@@ -202,3 +202,15 @@ def test_ngram_exact_equals_minhash_on_synthetic():
     a = ngram_jaccard_dedup_ids(docs).to_pandas()["doc_id"].tolist()
     b = dedup_minhash_ids(docs).to_pandas()["doc_id"].tolist()
     assert sorted(a) == sorted(b)
+
+
+def test_dedup_exact_full_rows(sf_small):
+    """Full-row variant (join-based payload recovery) agrees with the
+    ids-only narrow path."""
+    from tslib_ray.stages.dedup import dedup_exact, dedup_exact_ids
+    docs = rd.read_parquet(f"{sf_small}/documents.parquet",
+                           columns=["doc_id", "text"])
+    full = dedup_exact(docs).to_pandas().sort_values("doc_id")
+    ids = dedup_exact_ids(docs).to_pandas().sort_values("doc_id")
+    assert full["doc_id"].tolist() == ids["doc_id"].tolist()
+    assert set(full.columns) == {"doc_id", "text"}
