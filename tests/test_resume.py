@@ -65,6 +65,54 @@ def test_rerun_after_lost_tier_reproduces_hash(tmp_path, sf_small):
             assert second[p] == first[p], p
 
 
+def test_mark_is_o1_append(tmp_path):
+    """10^4-partition mark loop finishes in seconds (VERDICT r02 item 6: the
+    old rewrite-per-mark scheme was O(P^2) — minutes at this count)."""
+    import time
+    man = Manifest(str(tmp_path / "m"))
+    t0 = time.perf_counter()
+    for i in range(10_000):
+        man.mark(f"p{i}", rows=1, inputs=[], content_hash="x")
+    wall = time.perf_counter() - t0
+    assert wall < 30.0, wall  # fsync-bound; rewrite scheme takes minutes
+    done = man.load()
+    assert len(done) == 10_000 and done["p9999"]["rows"] == 1
+
+
+def test_load_skips_torn_final_line(tmp_path):
+    man = Manifest(str(tmp_path / "m"))
+    man.mark("a", rows=3, inputs=[])
+    man.mark("b", rows=4, inputs=[])
+    with open(man.path, "a") as f:
+        f.write('{"partition": "c", "rows"')  # crash mid-append
+    done = man.load()
+    assert set(done) == {"a", "b"}  # torn line -> partition c reruns
+    assert not man.done("c")
+
+
+def test_fingerprint_is_multiset_sensitive(sf_small):
+    """Wrapping-sum combiner: duplicated rows change the content hash
+    (ADVICE r02 — XOR let even multiplicities cancel), while row order /
+    block layout still do not."""
+    import pandas as pd
+    import ray.data as rd
+    from tslib_ray.state.manifest import dataset_fingerprint
+    df = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    base = dataset_fingerprint(rd.from_pandas(df), ts_col=None)
+    dup2 = dataset_fingerprint(
+        rd.from_pandas(pd.concat([df, df], ignore_index=True)), ts_col=None)
+    dup3 = dataset_fingerprint(
+        rd.from_pandas(pd.concat([df, df, df], ignore_index=True)),
+        ts_col=None)
+    assert base["content_hash"] != dup2["content_hash"]
+    assert dup2["content_hash"] != dup3["content_hash"]
+    # order/block-layout invariance (the resume-lineage invariant)
+    shuffled = df.iloc[[2, 0, 1]].reset_index(drop=True)
+    re_blocked = rd.from_pandas(shuffled).repartition(3)
+    assert dataset_fingerprint(re_blocked, ts_col=None)["content_hash"] \
+        == base["content_hash"]
+
+
 def test_fresh_run_is_deterministic(tmp_path, sf_small):
     a = str(tmp_path / "a")
     b = str(tmp_path / "b")
