@@ -1,0 +1,77 @@
+"""Round-3 regression tests: all-pairs guards, short-doc minhash oracle
+parity, scale-safe centroid training, incremental re-aggregation, streaming
+ensemble equality (VERDICT r02 prescriptions)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from tslib_ray.stages import ann, dedup
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs guards (VERDICT r02 item 5)
+# ---------------------------------------------------------------------------
+
+def test_allpairs_guard_raises_and_forces():
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        dedup._guard_allpairs(dedup.EXACT_ALLPAIRS_MAX_ROWS + 1, "op", False)
+    dedup._guard_allpairs(dedup.EXACT_ALLPAIRS_MAX_ROWS + 1, "op", True)
+    dedup._guard_allpairs(dedup.EXACT_ALLPAIRS_MAX_ROWS, "op", False)
+
+
+def test_ngram_jaccard_guard_end_to_end(monkeypatch):
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [f"alpha beta gamma delta {i}" for i in range(8)],
+    }))
+    monkeypatch.setattr(dedup, "EXACT_ALLPAIRS_MAX_ROWS", 4)
+    with pytest.raises(ValueError, match="ngram_jaccard_dedup_ids"):
+        dedup.ngram_jaccard_dedup_ids(docs)
+    out = dedup.ngram_jaccard_dedup_ids(docs, force=True).to_pandas()
+    assert len(out) == 8  # all distinct -> all kept
+
+
+def test_cosine_pairs_exact_guard(monkeypatch):
+    rng = np.random.default_rng(3)
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(6, dtype=np.int64),
+        "embedding": list(rng.normal(size=(6, 4))),
+    }))
+    monkeypatch.setattr(dedup, "EXACT_ALLPAIRS_MAX_ROWS", 3)
+    with pytest.raises(ValueError, match="cosine_pairs_exact"):
+        ann.cosine_pairs_exact(emb, threshold=0.99)
+    ann.cosine_pairs_exact(emb, threshold=0.99, force=True).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# short-doc minhash oracle parity (ADVICE r02)
+# ---------------------------------------------------------------------------
+
+def test_minhash_short_doc_engine_matches_sql():
+    """Fixture with sub-k-token docs (k=3): identical short docs must dedup
+    at Jaccard 1.0 in BOTH the engine and the SQL oracle (the engine
+    substitutes a whole-doc hash; the SQL now mirrors it as [text])."""
+    import duckdb
+    from tslib_ray.pipelines.queries import _minhash_sql
+    df = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": [
+            "red fox",              # 2 tokens, short
+            "red fox",              # identical short dup -> dropped
+            "blue",                 # 1 token, unique
+            "red fox jumps over the lazy dog tonight",
+            "red fox jumps over the lazy dog tonight",  # long dup -> dropped
+            "red",                  # short, differs from 'blue'
+            "completely different words entirely here now",
+        ],
+    })
+    kept = dedup.dedup_minhash_ids(rd.from_pandas(df), threshold=0.8) \
+        .to_pandas()["doc_id"].sort_values().to_numpy()
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(_minhash_sql()).df()["doc_id"].sort_values().to_numpy()
+    np.testing.assert_array_equal(kept, want)
+    assert 1 not in kept and 4 not in kept  # both dup kinds dropped

@@ -728,13 +728,23 @@ def _minhash_sql(threshold: float = 0.8, k: int = 3) -> str:
     """All-pairs oracle for the LSH pipeline: keep docs with NO smaller-id
     doc at token-k-shingle Jaccard >= threshold. Equals the engine output
     because 32-band/2-row LSH has miss probability (1-J^2)^32 ~ 6e-15 at the
-    threshold and verification is exact both sides (dedup.py docstring)."""
+    threshold and verification is exact both sides (dedup.py docstring).
+
+    Docs with fewer than k tokens mirror the engine's whole-doc fallback
+    (``_rolling_shingles``: shingle set = one whole-doc hash) as the
+    one-element list ``[text]`` — equal iff the token sequences are equal,
+    and never equal to a k-token shingle string (a <k-token text has fewer
+    than k-1 separator spaces). Without this CASE the generate_series is
+    empty -> 0/0 -> NULL and short docs were never dropped (ADVICE r02)."""
     shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
     return f"""
     WITH s AS (SELECT doc_id,
-            list_distinct([{shingle}
-                           for i in generate_series(1, len(t) - {k - 1})]) AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+            CASE WHEN len(t) < {k} THEN [text]
+                 ELSE list_distinct([{shingle}
+                     for i in generate_series(1, len(t) - {k - 1})])
+            END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+              FROM documents))
     SELECT a.doc_id AS doc_id FROM s a WHERE NOT EXISTS (
         SELECT 1 FROM s b WHERE b.doc_id < a.doc_id
           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)

@@ -195,8 +195,8 @@ def cosine_dedup(embeddings: "rd.Dataset", threshold: float = 0.95,
 
 
 def cosine_pairs_exact(embeddings: "rd.Dataset", threshold: float = 0.95,
-                       id_col: str = "vec_id", vec_col: str = "embedding"
-                       ) -> "rd.Dataset":
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       force: bool = False) -> "rd.Dataset":
     """EXACT all-pairs cosine near-dup ``(vec_id, dup_root)``: one Ray task
     per unordered block pair over the dataset's Arrow blocks (B blocks ->
     B(B+1)/2 tasks, each a single dense matmul on zero-copy object-store
@@ -204,12 +204,15 @@ def cosine_pairs_exact(embeddings: "rd.Dataset", threshold: float = 0.95,
     — at corpus scale use :func:`cosine_dedup` (recall-bounded blocking) and
     reserve this for within-cluster verification. Raw Ray tasks are used
     because the Dataset API cannot express a block cross-product
-    (SURVEY.md §4.2 last-resort rule)."""
+    (SURVEY.md §4.2 last-resort rule). Raises above the documented row bound
+    unless ``force=True`` (VERDICT r02 item 5)."""
+    from .dedup import _guard_allpairs
     narrow = embeddings.select_columns([id_col, vec_col])
     # block-pair task count is B(B+1)/2 — size B to ~4k vectors per block
     # (a read can surface hundreds of tiny blocks; unrepartitioned that is
     # tens of thousands of ~ms tasks, measured 74s -> 3s at sf0.1)
     n = narrow.count()
+    _guard_allpairs(n, "cosine_pairs_exact", force)
     target_blocks = max(1, -(-n // 4096))
     narrow = narrow.repartition(target_blocks)
     refs = narrow.to_arrow_refs()
