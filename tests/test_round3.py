@@ -47,6 +47,39 @@ def test_cosine_pairs_exact_guard(monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# vectorized fingerprint kernel parity (VERDICT r02 item 3)
+# ---------------------------------------------------------------------------
+
+def _ref_fingerprint(text: str, window: int = 8) -> int:
+    """Per-doc reference semantics (the pre-vectorization implementation)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    B = np.uint64(257)
+    if b.size < window:
+        h = np.uint64(0)
+        for x in b:
+            h = h * B + x
+        return int(h)
+    pows = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+    conv = np.lib.stride_tricks.sliding_window_view(b, window)
+    return int((conv * pows).sum(axis=1, dtype=np.uint64).min())
+
+
+def test_fingerprint_vectorized_matches_per_doc_reference():
+    from tslib_ray.stages.text import fingerprint
+    rng = np.random.default_rng(11)
+    texts = ["", "ab", "abcdefg", "abcdefgh", "x" * 7 + "y" * 9,
+             "z" * 200_000]  # last doc exceeds the 64 KiB chunk target
+    texts += [" ".join(f"w{rng.integers(0, 50)}" for _ in
+                       range(rng.integers(1, 120))) for _ in range(400)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = fingerprint(rd.from_pandas(df).repartition(5)).to_pandas() \
+        .sort_values("doc_id")["fingerprint"].to_numpy(dtype=np.uint64)
+    want = np.array([_ref_fingerprint(t) for t in texts], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
 # short-doc minhash oracle parity (ADVICE r02)
 # ---------------------------------------------------------------------------
 
