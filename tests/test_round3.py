@@ -137,6 +137,41 @@ def test_fingerprint_vectorized_matches_per_doc_reference():
 
 
 # ---------------------------------------------------------------------------
+# incremental re-aggregation == full recompute (VERDICT r02 missing item 1)
+# ---------------------------------------------------------------------------
+
+def test_incremental_rollup_equals_full_recompute(tmp_path, sf_small):
+    import json
+    import os
+    import ray.data as rdata
+    from tslib_ray.pipelines.flagship import incremental_rollup_1m
+    from tslib_ray.stages import rollup as R
+
+    out = str(tmp_path / "incr")
+    inc = incremental_rollup_1m(sf_small, out_dir=out).to_pandas()
+    full = R.rollup(
+        rdata.read_parquet(f"{sf_small}/events.parquet",
+                           columns=["user_id", "ts", "value"]),
+        ["user_id"], "ts", "value", "1m").to_pandas()
+    cols = ["user_id", "bucket_ts"]
+    inc = inc.sort_values(cols).reset_index(drop=True)
+    full = full.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(inc[full.columns], full)  # bit-identical
+
+    # the manifest recorded both shards; a second incremental call reuses
+    # them (no partials recomputed -> identical manifest lines)
+    with open(os.path.join(out, "manifest.jsonl")) as f:
+        first = sorted(f.read().splitlines())
+    assert len(first) == 2
+    inc2 = incremental_rollup_1m(sf_small, out_dir=out).to_pandas()
+    with open(os.path.join(out, "manifest.jsonl")) as f:
+        second = sorted(f.read().splitlines())
+    assert second == first  # both shards skipped on rerun
+    inc2 = inc2.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(inc2[full.columns], full)
+
+
+# ---------------------------------------------------------------------------
 # short-doc minhash oracle parity (ADVICE r02)
 # ---------------------------------------------------------------------------
 

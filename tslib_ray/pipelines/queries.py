@@ -232,6 +232,15 @@ _NORMALIZE_SQL = """
     FROM events, (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)"""
 
 
+def q_rollup_1m_incremental(sf_dir: str):
+    """Manifest-driven incremental re-aggregation (append a delta shard,
+    recompute only the delta, merge with stored base partials) — must equal
+    the plain full-recompute 1m rollup SQL. See
+    :func:`tslib_ray.pipelines.flagship.incremental_rollup_1m`."""
+    from .flagship import incremental_rollup_1m
+    return _round6(incremental_rollup_1m(sf_dir))
+
+
 def q_rollup_tiers_all(sf_dir: str):
     """All three retention tiers in one pass (tier column)."""
     return _round6(_value_tiers(sf_dir))
@@ -1076,6 +1085,7 @@ QUERIES: dict = {
     "matrix_matmul": (q_matrix_matmul, _MATMUL_SQL),
     "matrix_add": (q_matrix_add, _MATRIX_ADD_SQL),
     "matmul_large": (q_matmul_large, _MATMUL_LARGE_SQL),
+    "rollup_1m_incremental": (q_rollup_1m_incremental, _rollup_sql("minute")),
     "rollup_tiers_all": (q_rollup_tiers_all, _TIERS_ALL_SQL),
     "rate_tool_1d": (q_rate_tool_1d, _RATE_TOOL_SQL),
     "top_events_per_user": (q_top_events_per_user, _TOP_EVENTS_SQL),
