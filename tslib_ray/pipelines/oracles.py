@@ -99,6 +99,28 @@ def rsc_values(n_metrics: int = 1, n_experiments: int = 4) -> str:
     return values_sql(rsc_frame(n_metrics, n_experiments))
 
 
+def rsc_weights_frame(n_metrics: int = 1, n_experiments: int = 4
+                      ) -> pd.DataFrame:
+    """Sequential donor weights (getControl surface) over the same seeded
+    synthetic panel — same kernels, driver-side loop."""
+    from ..sources.panel import synth_panel
+    from ..stages.panel import _weights_one
+    panel, _ = synth_panel(n_metrics=n_metrics,
+                           n_experiments=n_experiments, seed=42)
+    frames = []
+    for eid, g in panel.groupby("experiment_id", sort=True):
+        out = _weights_one(g, "treated", 4, 30, "svd")
+        out.insert(0, "experiment_id", eid)
+        frames.append(out)
+    df = pd.concat(frames, ignore_index=True)
+    df["weight"] = r6(df["weight"].to_numpy())
+    return df
+
+
+def rsc_weights_values(n_metrics: int = 1, n_experiments: int = 4) -> str:
+    return values_sql(rsc_weights_frame(n_metrics, n_experiments))
+
+
 def forecast_group(g: pd.DataFrame) -> pd.DataFrame:
     """One user's rolling one-step forecasts (tslib SVDModel.predict
     semantics, ``/root/reference/src/models/tsSVDModel.py:250-284``) — shared

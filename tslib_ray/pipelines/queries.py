@@ -1037,6 +1037,18 @@ def q_rsc_counterfactual(sf_dir: str):
     return _round6(out, cols=["actual", "counterfactual"])
 
 
+def q_rsc_weights(sf_dir: str):
+    """Learned donor weights per experiment (the reference's ``getControl``
+    output, VERDICT r02 missing item 3) — VALUES-oracle-checked like
+    ``rsc_counterfactual``."""
+    from tslib_ray.sources.panel import synth_panel
+    from tslib_ray.stages.panel import rsc_donor_weights
+    panel, _ = synth_panel(n_experiments=4, seed=42)
+    out = rsc_donor_weights(rd.from_pandas(panel), "treated", 4,
+                            train_end=30)
+    return _round6(out, cols=["weight"])
+
+
 def q_mrsc_counterfactual(sf_dir: str):
     from tslib_ray.sources.panel import synth_panel
     from tslib_ray.stages.panel import rsc_counterfactuals
@@ -1118,6 +1130,11 @@ QUERIES: dict = {
                            lambda: __import__(
                                "tslib_ray.pipelines.oracles",
                                fromlist=["rsc_values"]).rsc_values(1, 4)),
+    "rsc_weights": (q_rsc_weights,
+                    lambda: __import__(
+                        "tslib_ray.pipelines.oracles",
+                        fromlist=["rsc_weights_values"]
+                    ).rsc_weights_values(1, 4)),
     "mrsc_counterfactual": (q_mrsc_counterfactual,
                             lambda: __import__(
                                 "tslib_ray.pipelines.oracles",
