@@ -326,6 +326,9 @@ def minhash_lsh_pairs(docs: "rd.Dataset", num_perm: int = 64,
     ``max_mates`` smallest bucket-mates per bucket — see module docstring for
     why the cap is safe-biased). Two narrow shuffles: one on the bucket key,
     one on doc_id for the cross-band pair dedup."""
+    # prune at the source: only (doc_id, text) enter the signature stage,
+    # whatever else the corpus table carries
+    docs = docs.select_columns(["doc_id", "text"])
     if concurrency is None:
         # stateless tasks by default: the permutation table is cheap to
         # build, and an actor pool on a small session can starve the three
@@ -340,20 +343,31 @@ def minhash_lsh_pairs(docs: "rd.Dataset", num_perm: int = 64,
                                                   bands=bands),
             batch_format="pandas", concurrency=concurrency)
 
-    def add_part(b: pd.DataFrame) -> pd.DataFrame:
-        b["_part"] = (b["band_hash"].to_numpy() % np.uint64(n_parts)).astype(
-            np.int32)
-        return b
+    def add_part(b: pa.Table) -> pa.Table:
+        # Arrow-append only — the 32M-row signature stream never round-trips
+        # through pandas on its way into the bucket shuffle
+        part = (b["band_hash"].to_numpy(zero_copy_only=False)
+                % np.uint32(n_parts)).astype(np.int32)
+        return b.append_column("_part", pa.array(part))
 
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band_hash", "doc_id"], kind="mergesort")
-        bh = g["band_hash"].to_numpy()
+    def pairs_part(g: pa.Table) -> pa.Table:
+        bh = g["band_hash"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh))  # by (band_hash, doc_id), stable
+        bh, ids = bh[order], ids[order]
         codes = np.cumsum(np.concatenate(([False], bh[1:] != bh[:-1])))
-        d, c = _bucket_pairs(g["doc_id"].to_numpy(), codes, max_mates)
-        return pd.DataFrame({"doc_id": d, "cand_id": c}).drop_duplicates()
+        d, c = _bucket_pairs(ids, codes, max_mates)
+        if d.size:  # in-partition pair dedup, vectorized
+            o2 = np.lexsort((c, d))
+            d, c = d[o2], c[o2]
+            keep = np.concatenate(
+                ([True], (d[1:] != d[:-1]) | (c[1:] != c[:-1])))
+            d, c = d[keep], c[keep]
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "cand_id": pa.array(c, type=pa.int64())})
 
-    pairs = sig.map_batches(add_part, batch_format="pandas") \
-        .groupby("_part").map_groups(pairs_part, batch_format="pandas")
+    pairs = sig.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pairs_part, batch_format="pyarrow")
 
     def part_by_doc(b: pd.DataFrame) -> pd.DataFrame:
         b = b[["doc_id", "cand_id"]].copy()
