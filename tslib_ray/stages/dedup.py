@@ -279,6 +279,26 @@ def _batch_shingle_sets(texts: pd.Series, k: int) -> list[np.ndarray]:
     return out
 
 
+def _batch_shingle_flat(texts: pd.Series, k: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Fully vectorized per-doc unique shingle hashes: returns
+    ``(hashes, doc_lens)`` where ``hashes`` holds every doc's sorted unique
+    k-gram hashes back to back and ``doc_lens[d]`` its count — the
+    flatten/segment shape (no per-doc Python loop, unlike
+    :func:`_batch_shingle_sets`)."""
+    sh, starts, valid, lens = _rolling_shingles(texts, k)
+    n = lens.size
+    if sh.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+    doc_of = np.repeat(np.arange(n), lens)[valid]
+    sh = sh[valid]
+    order = np.lexsort((sh, doc_of))
+    doc_of, sh = doc_of[order], sh[order]
+    first = np.concatenate(
+        ([True], (doc_of[1:] != doc_of[:-1]) | (sh[1:] != sh[:-1])))
+    return sh[first], np.bincount(doc_of[first], minlength=n)
+
+
 def _bucket_pairs(ids: np.ndarray, bucket_codes: np.ndarray,
                   max_mates: int) -> tuple[np.ndarray, np.ndarray]:
     """Given rows sorted by (bucket, id), pair each row with its
@@ -426,14 +446,23 @@ def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
     def verify(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
-        sa = _batch_shingle_sets(b[text_col], shingle_k)
-        sb = _batch_shingle_sets(b["cand_text"], shingle_k)
+        ha, la = _batch_shingle_flat(b[text_col], shingle_k)
+        hb, lb = _batch_shingle_flat(b["cand_text"], shingle_k)
         n = len(b)
-        inter = np.empty(n, dtype=np.int64)
-        union = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            inter[i] = np.intersect1d(sa[i], sb[i], assume_unique=True).size
-            union[i] = sa[i].size + sb[i].size - inter[i]
+        # batch-vectorized intersection sizes: tag every shingle hash of
+        # both sides with its pair index, sort by (pair, hash); since each
+        # side is unique within a pair, an adjacent equal (pair, hash) run
+        # is exactly one cross-side match
+        pair_of = np.concatenate([np.repeat(np.arange(n), la),
+                                  np.repeat(np.arange(n), lb)])
+        hashes = np.concatenate([ha, hb])
+        order = np.lexsort((hashes, pair_of))
+        pair_of, hashes = pair_of[order], hashes[order]
+        dup = np.concatenate(
+            ([False], (pair_of[1:] == pair_of[:-1])
+             & (hashes[1:] == hashes[:-1])))
+        inter = np.bincount(pair_of[dup], minlength=n)
+        union = la + lb - inter
         jac = inter / np.maximum(union, 1)
         keep = jac >= threshold
         out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep]})
