@@ -278,3 +278,68 @@ def test_minhash_short_doc_engine_matches_sql():
     want = con.sql(_minhash_sql()).df()["doc_id"].sort_values().to_numpy()
     np.testing.assert_array_equal(kept, want)
     assert 1 not in kept and 4 not in kept  # both dup kinds dropped
+
+
+# ---------------------------------------------------------------------------
+# as-of join + rolling window (stages/asof.py)
+# ---------------------------------------------------------------------------
+
+def _asof_fixture():
+    ts = pd.to_datetime([10, 20, 30, 40], unit="s")
+    left = pd.DataFrame({
+        "lid": np.arange(4, dtype=np.int64),
+        "k": ["a", "a", "a", "b"],
+        "ts": ts,
+    })
+    right = pd.DataFrame({
+        "k": ["a", "a", "c"],
+        "ts": pd.to_datetime([15, 30, 5], unit="s"),
+        "v": [1.5, 2.5, 9.0],
+    })
+    return left, right
+
+
+def test_asof_join_backward_left_and_inner():
+    from tslib_ray.stages.asof import asof_join
+    left, right = _asof_fixture()
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="k", on="ts", right_cols=["v"], suffix="_p",
+                    how="left").to_pandas().sort_values("lid")
+    # lid0: ts=10 < all right -> null; lid1: ts=20 -> v=1.5 (ts15);
+    # lid2: ts=30 -> inclusive match v=2.5; lid3: key b has no right rows
+    assert out["v_p"].tolist()[1:3] == [1.5, 2.5]
+    assert np.isnan(out["v_p"].tolist()[0]) and np.isnan(out["v_p"].tolist()[3])
+    assert out["lid"].dtype == np.int64  # dtype restored despite null padding
+    inner = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                      by="k", on="ts", right_cols=["v"], suffix="_p",
+                      how="inner").to_pandas().sort_values("lid")
+    assert inner["lid"].tolist() == [1, 2] and inner["v_p"].tolist() == [1.5, 2.5]
+
+
+def test_asof_join_forward():
+    from tslib_ray.stages.asof import asof_join
+    left, right = _asof_fixture()
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="k", on="ts", right_cols=["v"], suffix="_n",
+                    direction="forward", how="left"
+                    ).to_pandas().sort_values("lid")
+    # forward: smallest right ts >= left ts (inclusive)
+    assert out["v_n"].tolist()[0:3] == [1.5, 2.5, 2.5]
+    assert np.isnan(out["v_n"].tolist()[3])
+
+
+def test_rolling_window_range_peers_and_bounds():
+    from tslib_ray.stages.asof import rolling_window_agg
+    # equal-ts peers must ALL be included in each other's frame (RANGE)
+    df = pd.DataFrame({
+        "k": ["a"] * 4,
+        "ts": pd.to_datetime([0, 3600, 3600, 7201], unit="s"),
+        "v": [1.0, 2.0, 4.0, 8.0],
+    })
+    out = rolling_window_agg(rd.from_pandas(df), by="k", on="ts",
+                             value_col="v", window=pd.Timedelta(hours=1)
+                             ).to_pandas().sort_values(["ts", "v"])
+    # row0: [t-1h, t] = itself; rows at 3600 include row0 (inclusive) and
+    # each other (peers); row at 7201 excludes everything (<6001 out)
+    assert out["w_count"].tolist() == [1, 3, 3, 1]
+    assert out["w_sum"].tolist() == [1.0, 7.0, 7.0, 8.0]

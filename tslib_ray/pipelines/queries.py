@@ -232,6 +232,66 @@ _NORMALIZE_SQL = """
     FROM events, (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)"""
 
 
+def q_asof_error_context(sf_dir: str):
+    """As-of join: every purchase event picks up the most recent prior
+    error event of the same user (inclusive backward match) — the classic
+    time-series point-in-time enrichment neither tslib nor Ray Data ships
+    (stages/asof.py; ONE hash shuffle on user_id, ``np.searchsorted`` per
+    group). Inner flavour so unmatched purchases drop, mirroring DuckDB
+    ``ASOF JOIN``. Determinism note: the fixture has no duplicate
+    (user_id, ts) on the error side (checked), so the greatest-``ts``
+    match is unique; under ties both DuckDB ASOF and the engine's
+    stable-sort pick are unspecified."""
+    from ..stages.asof import asof_join
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                          "value"])
+
+    def side(tag, cols):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], tag)).select(cols)
+        return fn
+
+    left = ev.map_batches(side("purchase", ["event_id", "user_id", "ts"]),
+                          batch_format="pyarrow")
+    right = ev.map_batches(side("error", ["user_id", "ts", "value"]),
+                           batch_format="pyarrow")
+    return asof_join(left, right, by="user_id", on="ts",
+                     right_cols=["ts", "value"], suffix="_err", how="inner")
+
+
+_ASOF_SQL = """
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_err, r.value AS value_err
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') l
+    ASOF JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+def q_rolling_1h(sf_dir: str):
+    """Trailing 1-hour per-user window aggregate (RANGE frame semantics:
+    equal-ts peers included) — stages/asof.py::rolling_window_agg, one
+    shuffle + prefix-sum searchsorted per group."""
+    from ..stages.asof import rolling_window_agg
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = rolling_window_agg(ev, by="user_id", on="ts", value_col="value",
+                             window=pd.Timedelta(hours=1))
+    return _round6(
+        out.select_columns(["event_id", "user_id", "ts", "w_count", "w_sum",
+                            "w_mean"]), ["w_sum", "w_mean"])
+
+
+_ROLLING_SQL = """
+    SELECT event_id, user_id, ts,
+           COUNT(value) OVER w AS w_count,
+           FLOOR((SUM(value) OVER w) * 1000000 + 0.5) / 1000000 AS w_sum,
+           FLOOR(((SUM(value) OVER w) / (COUNT(value) OVER w)) * 1000000 + 0.5)
+               / 1000000 AS w_mean
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+
+
 def q_rollup_1m_incremental(sf_dir: str):
     """Manifest-driven incremental re-aggregation (append a delta shard,
     recompute only the delta, merge with stored base partials) — must equal
@@ -1087,6 +1147,8 @@ QUERIES: dict = {
     "rate_role_1h": (q_rate_role_1h, _RATE_ROLE_SQL),
     "retention_last7d": (q_retention_last7d, _RETENTION_SQL),
     "sessionize": (q_sessionize, _SESSIONIZE_SQL),
+    "asof_error_context": (q_asof_error_context, _ASOF_SQL),
+    "rolling_1h": (q_rolling_1h, _ROLLING_SQL),
     "normalize_value": (q_normalize_value, _NORMALIZE_SQL),
     "pricing_summary": (q_pricing_summary, _PRICING_SQL),
     "top_customers": (q_top_customers, _TOP_CUST_SQL),
