@@ -85,7 +85,8 @@ def run_benchmarks() -> dict:
                  "sessionize", "gap_fill_linear", "gorilla_tiles_1h",
                  "dedup_exact", "text_stats", "ann_top10", "minhash_dedup",
                  "simhash_candidates", "quality_score", "embedding_dedup",
-                 "matmul_large", "top_customers", "gorilla_roundtrip_1h"):
+                 "matmul_large", "top_customers", "gorilla_roundtrip_1h",
+                 "asof_error_context", "rolling_1h"):
         timed(name)
 
     value = timings[headline]

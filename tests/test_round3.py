@@ -343,3 +343,36 @@ def test_rolling_window_range_peers_and_bounds():
     # each other (peers); row at 7201 excludes everything (<6001 out)
     assert out["w_count"].tolist() == [1, 3, 3, 1]
     assert out["w_sum"].tolist() == [1.0, 7.0, 7.0, 8.0]
+
+
+# ---------------------------------------------------------------------------
+# job entrypoint (python -m tslib_ray / ray job submit surface)
+# ---------------------------------------------------------------------------
+
+def test_job_entrypoint_runs_and_resumes(tmp_path):
+    from tslib_ray.__main__ import main
+    out = str(tmp_path / "job_out")
+    argv = ["--input", "/root/testdata/sf0.001/events.parquet",
+            "--out", out]
+    m1 = main(argv)
+    assert m1["shards"] == 1 and m1["skipped_shards"] == 0
+    assert m1["tiers"]["1m"] > m1["tiers"]["1h"] > m1["tiers"]["1d"] > 0
+    assert (tmp_path / "job_out" / "manifest.jsonl").exists()
+    # rerun: every shard and tier is skipped via the manifest, rows identical
+    m2 = main(argv)
+    assert m2["skipped_shards"] == 1
+    assert m2["tiers"] == m1["tiers"]
+    assert m2["wall_s"] < m1["wall_s"]
+
+
+def test_job_entrypoint_input_resolution(tmp_path):
+    from tslib_ray.__main__ import _resolve_inputs
+    import pytest as _pytest
+    d = tmp_path / "in"; d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    (d / "sub").mkdir(); (d / "sub" / "b.parquet").write_bytes(b"x")
+    assert len(_resolve_inputs(str(d))) == 2          # recursive dir
+    assert len(_resolve_inputs(str(d / "*.parquet"))) == 1  # glob
+    assert _resolve_inputs(str(d / "a.parquet")) == [str(d / "a.parquet")]
+    with _pytest.raises(SystemExit):
+        _resolve_inputs(str(d / "nope*.parquet"))

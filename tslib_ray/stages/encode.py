@@ -61,25 +61,32 @@ class GorillaEncoder:
         group_starts = np.flatnonzero(boundary)
         group_ends = np.append(group_starts[1:], n)
 
-        out_keys: dict[str, list] = {k: [] for k in self.keys}
-        tier_l, start_l, np_l, tsb_l, vb_l = [], [], [], [], []
-        for s, e in zip(group_starts, group_ends):
-            for lo in range(s, e, self.max_points):
-                hi = min(lo + self.max_points, e)
-                ts_blob, val_blob = gorilla.encode_tile(ts[lo:hi], vals[lo:hi])
-                for k, arr in zip(self.keys, key_arrays):
-                    out_keys[k].append(arr[s].as_py())
-                tier_l.append(self.tier)
-                start_l.append(int(ts[lo]))
-                np_l.append(hi - lo)
-                tsb_l.append(ts_blob)
-                vb_l.append(val_blob)
+        # tile boundaries: per-group max_points strides; key columns fan out
+        # via ONE take on the tile-start indices (no per-tile .as_py())
+        if group_starts.size:
+            per_group = [np.arange(s, e, self.max_points)
+                         for s, e in zip(group_starts, group_ends)]
+            tile_starts = np.concatenate(per_group)
+            tile_ends = np.minimum(
+                tile_starts + self.max_points,
+                np.repeat(group_ends, [len(x) for x in per_group]))
+        else:
+            tile_starts = tile_ends = np.empty(0, dtype=np.int64)
 
-        cols = {k: pa.array(v) for k, v in out_keys.items()}
-        cols["tier"] = pa.array(tier_l, type=pa.string())
-        cols["tile_start_ts"] = pa.array(
-            np.array(start_l, dtype=np.int64), type=pa.timestamp("us"))
-        cols["n_points"] = pa.array(np_l, type=pa.int64())
+        tsb_l, vb_l = [], []
+        for lo, hi in zip(tile_starts, tile_ends):
+            ts_blob, val_blob = gorilla.encode_tile(ts[lo:hi], vals[lo:hi])
+            tsb_l.append(ts_blob)
+            vb_l.append(val_blob)
+
+        idx = pa.array(tile_starts, type=pa.int64())
+        cols = {k: pc.take(arr, idx)
+                for k, arr in zip(self.keys, key_arrays)}
+        cols["tier"] = pa.array([self.tier] * len(tile_starts),
+                                type=pa.string())
+        cols["tile_start_ts"] = pa.array(ts[tile_starts],
+                                         type=pa.timestamp("us"))
+        cols["n_points"] = pa.array(tile_ends - tile_starts, type=pa.int64())
         cols["ts_blob"] = pa.array(tsb_l, type=pa.binary())
         cols["val_blob"] = pa.array(vb_l, type=pa.binary())
         return pa.table(cols)
