@@ -376,3 +376,30 @@ def test_job_entrypoint_input_resolution(tmp_path):
     assert _resolve_inputs(str(d / "a.parquet")) == [str(d / "a.parquet")]
     with _pytest.raises(SystemExit):
         _resolve_inputs(str(d / "nope*.parquet"))
+
+
+def test_quantiles_per_key_matches_numpy_and_parallelism_invariant():
+    from tslib_ray.stages.rollup import quantiles_per_key
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 6 * 3600, n), unit="s"),
+        "v": rng.normal(50, 20, n),
+    })
+    out = quantiles_per_key(rd.from_pandas(df), "k", "ts", "v", "1h",
+                            n_parts=8).to_pandas()
+    df["b"] = df["ts"].dt.floor("h")
+    ref = df.groupby(["k", "b"])["v"].quantile([0.5, 0.95, 0.99]).unstack()
+    ref.columns = ["p50", "p95", "p99"]
+    ref = ref.reset_index().rename(columns={"b": "bucket_ts"})
+    merged = out.merge(ref, on=["k", "bucket_ts"], suffixes=("", "_ref"))
+    assert len(merged) == len(ref) == len(out)
+    for c in ("p50", "p95", "p99"):
+        np.testing.assert_allclose(merged[c], merged[c + "_ref"], atol=1e-12)
+    # partitioning must not change values (exact, not sketched)
+    out2 = quantiles_per_key(rd.from_pandas(df.drop(columns=["b"])),
+                             "k", "ts", "v", "1h", n_parts=3).to_pandas()
+    a = out.sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    c2 = out2.sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c2)

@@ -232,6 +232,24 @@ _NORMALIZE_SQL = """
     FROM events, (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)"""
 
 
+def q_quantile_value_1h(sf_dir: str):
+    """Exact p50/p95/p99 of value per (user, hour) — the percentile
+    continuous aggregate (stages/rollup.py::quantiles_per_key: one narrow
+    hash shuffle, all groups of a partition quantiled in a single lexsort +
+    interpolated take)."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    out = R.quantiles_per_key(ds, "user_id", "ts", "value", "1h")
+    return _round6(out, ["p50", "p95", "p99"])
+
+
+_QUANTILE_SQL = """
+    SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+           FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+           FLOOR(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
+           FLOOR(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+    FROM events GROUP BY 1, 2"""
+
+
 def q_asof_error_context(sf_dir: str):
     """As-of join: every purchase event picks up the most recent prior
     error event of the same user (inclusive backward match) — the classic
@@ -1148,6 +1166,7 @@ QUERIES: dict = {
     "retention_last7d": (q_retention_last7d, _RETENTION_SQL),
     "sessionize": (q_sessionize, _SESSIONIZE_SQL),
     "asof_error_context": (q_asof_error_context, _ASOF_SQL),
+    "quantile_value_1h": (q_quantile_value_1h, _QUANTILE_SQL),
     "rolling_1h": (q_rolling_1h, _ROLLING_SQL),
     "normalize_value": (q_normalize_value, _NORMALIZE_SQL),
     "pricing_summary": (q_pricing_summary, _PRICING_SQL),
