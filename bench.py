@@ -86,7 +86,8 @@ def run_benchmarks() -> dict:
                  "dedup_exact", "text_stats", "ann_top10", "minhash_dedup",
                  "simhash_candidates", "quality_score", "embedding_dedup",
                  "matmul_large", "top_customers", "gorilla_roundtrip_1h",
-                 "asof_error_context", "rolling_1h", "quantile_value_1h"):
+                 "asof_error_context", "rolling_1h", "quantile_value_1h",
+                 "histogram_1h"):
         timed(name)
 
     value = timings[headline]

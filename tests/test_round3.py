@@ -403,3 +403,64 @@ def test_quantiles_per_key_matches_numpy_and_parallelism_invariant():
     a = out.sort_values(["k", "bucket_ts"]).reset_index(drop=True)
     c2 = out2.sort_values(["k", "bucket_ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, c2)
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantile sketch (stages/sketch.py)
+# ---------------------------------------------------------------------------
+
+def _sketch_df(n=6000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "ts": pd.to_datetime(rng.integers(0, 3 * 86400, n), unit="s"),
+        "v": rng.uniform(0, 100, n),
+    })
+
+
+def test_histogram_cascade_bit_identical_to_direct():
+    from tslib_ray.stages import sketch
+    df = _sketch_df()
+    ds = rd.from_pandas(df)
+    s1m = sketch.histogram_tier(ds, "k", "ts", "v", "1m", 0.0, 100.0, 50,
+                                n_parts=8)
+    via_cascade = sketch.histogram_cascade(s1m, "k", "1h", n_parts=8) \
+        .to_pandas().sort_values(["k", "bucket_ts", "bin"]) \
+        .reset_index(drop=True)
+    direct = sketch.histogram_tier(rd.from_pandas(df), "k", "ts", "v", "1h",
+                                   0.0, 100.0, 50, n_parts=3) \
+        .to_pandas().sort_values(["k", "bucket_ts", "bin"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_cascade, direct)
+
+
+def test_histogram_quantiles_within_bin_width_of_exact():
+    from tslib_ray.stages import sketch
+    df = _sketch_df()
+    n_bins, lo, hi = 50, 0.0, 100.0
+    ds = rd.from_pandas(df)
+    sk = sketch.histogram_tier(ds, "k", "ts", "v", "1d", lo, hi, n_bins,
+                               n_parts=8)
+    est = sketch.quantiles_from_histogram(sk, "k", lo, hi, n_bins,
+                                          qs=(0.5, 0.95), n_parts=8
+                                          ).to_pandas()
+    df["b"] = df["ts"].dt.floor("D")
+    exact = df.groupby(["k", "b"])["v"].quantile([0.5, 0.95]).unstack()
+    exact.columns = ["p50", "p95"]
+    exact = exact.reset_index().rename(columns={"b": "bucket_ts"})
+    m = est.merge(exact, on=["k", "bucket_ts"], suffixes=("", "_ex"))
+    assert len(m) == len(exact) == len(est)
+    w = (hi - lo) / n_bins
+    assert (m["p50"] - m["p50_ex"]).abs().max() <= w
+    assert (m["p95"] - m["p95_ex"]).abs().max() <= w
+
+
+def test_histogram_clamps_out_of_range():
+    from tslib_ray.stages import sketch
+    df = pd.DataFrame({"k": [1, 1, 1], "ts": pd.to_datetime([0, 1, 2],
+                                                            unit="s"),
+                       "v": [-5.0, 50.0, 999.0]})
+    sk = sketch.histogram_tier(rd.from_pandas(df), "k", "ts", "v", "1h",
+                               0.0, 100.0, 10, n_parts=2).to_pandas()
+    assert sorted(sk["bin"].tolist()) == [0, 5, 9]
+    assert sk["n"].sum() == 3

@@ -250,6 +250,26 @@ _QUANTILE_SQL = """
     FROM events GROUP BY 1, 2"""
 
 
+def q_histogram_1h(sf_dir: str):
+    """Mergeable per-(user, hour) histogram quantile sketch rows
+    (stages/sketch.py) — the cascade-compatible percentile path. Bin
+    assignment is integer arithmetic on an exactly-representable width
+    (512/64 = 8.0), so the sketch representation itself is bit-checkable
+    against SQL; overflow clamps into the last bin (documented)."""
+    from ..stages.sketch import histogram_tier
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    return histogram_tier(ds, "user_id", "ts", "value", "1h",
+                          lo=0.0, hi=512.0, n_bins=64)
+
+
+_HISTOGRAM_SQL = """
+    SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+           CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 8.0), 0), 63)
+                AS INTEGER) AS bin,
+           COUNT(value) AS n
+    FROM events GROUP BY 1, 2, 3"""
+
+
 def q_asof_error_context(sf_dir: str):
     """As-of join: every purchase event picks up the most recent prior
     error event of the same user (inclusive backward match) — the classic
@@ -1167,6 +1187,7 @@ QUERIES: dict = {
     "sessionize": (q_sessionize, _SESSIONIZE_SQL),
     "asof_error_context": (q_asof_error_context, _ASOF_SQL),
     "quantile_value_1h": (q_quantile_value_1h, _QUANTILE_SQL),
+    "histogram_1h": (q_histogram_1h, _HISTOGRAM_SQL),
     "rolling_1h": (q_rolling_1h, _ROLLING_SQL),
     "normalize_value": (q_normalize_value, _NORMALIZE_SQL),
     "pricing_summary": (q_pricing_summary, _PRICING_SQL),
