@@ -169,10 +169,13 @@ def run_headline_synth() -> dict:
     from tslib_ray.stages import rollup as R
 
     rows_in = rd.read_parquet(SCALING_PATH).count()  # warm cache + workers
-    # partition sizing (measured, BASELINE.md): ~450k rows per hash bucket
-    # pipelines the reduce stage best (64 parts -> 60s, 512 -> 14s at 223M
-    # rows / 32 cpus); must be identical at both cluster sizes
-    n_parts = max(64, int(rows_in) // 450_000)
+    # partition sizing (measured round 3, BASELINE.md): ~225k rows per hash
+    # bucket balances the reduce stage best at high parallelism (at 223M
+    # rows / 32 cpus: 248 parts -> 16.4s, 495 -> 13.8s, 990 -> 12.1s,
+    # 1980 -> 13.3s; the 8-cpu side is insensitive, 43.2s at both 495 and
+    # 990 — so finer partitions buy scaling efficiency directly); must be
+    # identical at both cluster sizes
+    n_parts = max(64, int(rows_in) // 225_000)
 
     def pipeline():
         ds = rd.read_parquet(SCALING_PATH,
