@@ -464,3 +464,18 @@ def test_histogram_clamps_out_of_range():
                                0.0, 100.0, 10, n_parts=2).to_pandas()
     assert sorted(sk["bin"].tolist()) == [0, 5, 9]
     assert sk["n"].sum() == 3
+
+
+def test_token_counter_matches_duckdb_on_regex_edges():
+    """Pins the SQL-escaping contract: backslashes pass through DuckDB
+    single-quoted literals untouched (doubling them silently changes the
+    RE2 class and diverges on backslash-bearing docs — regression test)."""
+    import duckdb
+    from tslib_ray.stages.text import TokenCounter
+    t = pd.DataFrame({"text": ["a\tb", "x ", "a\\b", "tab\t\tend",
+                               "it's 42!", "", "  ", "€ uni—code"]})
+    eng = TokenCounter()(t.copy())["n_bpe_tokens"].tolist()
+    sql = duckdb.sql(
+        "SELECT " + TokenCounter.sql("t.text") + " AS n FROM t"
+    ).df()["n"].tolist()
+    assert eng == sql

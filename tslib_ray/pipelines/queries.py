@@ -250,6 +250,21 @@ _QUANTILE_SQL = """
     FROM events GROUP BY 1, 2"""
 
 
+def q_token_count(sf_dir: str):
+    """BPE-ish pretoken counts per document (stages/text.py::TokenCounter —
+    GPT-2-style split pattern compiled once per actor, C-level str.count;
+    the unit LLM data budgets are priced in)."""
+    from ..stages.text import token_count
+    return token_count(_docs(sf_dir, ["doc_id", "text"])) \
+        .select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _token_count_sql() -> str:
+    from ..stages.text import TokenCounter
+    return (f"SELECT doc_id, {TokenCounter.sql('text')} AS n_bpe_tokens "
+            f"FROM documents")
+
+
 def q_histogram_1h(sf_dir: str):
     """Mergeable per-(user, hour) histogram quantile sketch rows
     (stages/sketch.py) — the cascade-compatible percentile path. Bin
@@ -1188,6 +1203,7 @@ QUERIES: dict = {
     "asof_error_context": (q_asof_error_context, _ASOF_SQL),
     "quantile_value_1h": (q_quantile_value_1h, _QUANTILE_SQL),
     "histogram_1h": (q_histogram_1h, _HISTOGRAM_SQL),
+    "token_count": (q_token_count, _token_count_sql()),
     "rolling_1h": (q_rolling_1h, _ROLLING_SQL),
     "normalize_value": (q_normalize_value, _NORMALIZE_SQL),
     "pricing_summary": (q_pricing_summary, _PRICING_SQL),

@@ -255,3 +255,49 @@ def fingerprint(docs: "rd.Dataset", text_col: str = "text",
         return batch.append_column("fingerprint", pa.array(out))
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# GPT-2-style pretokenizer pattern, simplified to the RE2-compatible subset
+# (no lookahead) so the same pattern runs in both the engine (Python re via
+# pandas str.count) and the DuckDB oracle (regexp_extract_all): contractions,
+# optionally-space-prefixed letter runs / digit runs / punctuation runs,
+# residual whitespace. Public knowledge (Radford et al. 2019 released the
+# pattern with GPT-2's BPE tokenizer).
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+class TokenCounter:
+    """Actor-pool stage: per-doc BPE-ish pretoken count (the unit LLM data
+    budgets are priced in). The regex is compiled once per actor
+    (``__init__``); counting is pandas ``str.count`` — a C-level loop over
+    the batch with no Python-per-row closure."""
+
+    def __init__(self, text_col: str = "text",
+                 pattern: str = BPE_SPLIT_PATTERN):
+        import re
+        self.text_col = text_col
+        self.rx = re.compile(pattern)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_bpe_tokens"] = (batch[self.text_col].str.count(self.rx)
+                                 .astype(np.int64))
+        return batch
+
+    @staticmethod
+    def sql(text_col: str = "text") -> str:
+        """DuckDB mirror expression for the oracle (RE2 runs the identical
+        pattern)."""
+        # standard SQL single-quoted strings: only quotes need escaping —
+        # backslashes pass through literally to RE2
+        pat = BPE_SPLIT_PATTERN.replace("'", "''")
+        return (f"CAST(len(regexp_extract_all({text_col}, '{pat}')) "
+                f"AS BIGINT)")
+
+
+def token_count(docs: "rd.Dataset", text_col: str = "text",
+                concurrency: int = 2) -> "rd.Dataset":
+    return docs.map_batches(
+        TokenCounter, fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pandas", concurrency=concurrency)
