@@ -87,7 +87,8 @@ def run_benchmarks() -> dict:
                  "simhash_candidates", "quality_score", "embedding_dedup",
                  "matmul_large", "top_customers", "gorilla_roundtrip_1h",
                  "asof_error_context", "rolling_1h", "quantile_value_1h",
-                 "histogram_1h"):
+                 "histogram_1h", "hll_distinct_1d", "compact_retention",
+                 "lttb_downsample"):
         timed(name)
 
     value = timings[headline]
@@ -334,7 +335,8 @@ def run_docs_scale() -> dict:
     import ray.data as rd
     from tslib_ray.sources.documents import synth_documents
     from tslib_ray.stages.dedup import dedup_exact_ids, dedup_minhash
-    from tslib_ray.stages.text import fingerprint, quality_score, text_stats
+    from tslib_ray.stages.text import (fingerprint, quality_score,
+                                       text_stats, token_count)
 
     if not (os.path.isdir(DOCS_PATH) and os.listdir(DOCS_PATH)):
         synth_documents(DOCS_N).write_parquet(DOCS_PATH)
@@ -357,6 +359,8 @@ def run_docs_scale() -> dict:
     t_q, _ = timed(lambda: quality_score(rd.read_parquet(DOCS_PATH),
                                          concurrency=NUM_CPUS // 2))
     t_fp, _ = timed(lambda: fingerprint(rd.read_parquet(DOCS_PATH)))
+    t_tok, _ = timed(lambda: token_count(rd.read_parquet(DOCS_PATH),
+                                         concurrency=NUM_CPUS // 2))
     t_mh, n_mh = timed(lambda: dedup_minhash(
         rd.read_parquet(DOCS_PATH), num_partitions=NUM_CPUS // 2))
     out = {
@@ -369,6 +373,7 @@ def run_docs_scale() -> dict:
             "text_stats": t_text,
             "quality_score": t_q,
             "fingerprint": t_fp,
+            "token_count": t_tok,
             "minhash_dedup": t_mh,
         },
         "kept_exact": n_exact,

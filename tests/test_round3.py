@@ -479,3 +479,104 @@ def test_token_counter_matches_duckdb_on_regex_edges():
         "SELECT " + TokenCounter.sql("t.text") + " AS n FROM t"
     ).df()["n"].tolist()
     assert eng == sql
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketch (stages/distinct.py)
+# ---------------------------------------------------------------------------
+
+def test_hll_cascade_bit_identical_to_direct():
+    from tslib_ray.stages import distinct
+    df = _sketch_df()
+    df["item"] = "u" + (df["v"] * 37).astype(int).astype(str)
+    ds = rd.from_pandas(df)
+    s1h = distinct.hll_tier(ds, "k", "ts", "item", "1h", p=8, n_parts=8)
+    via = distinct.hll_cascade(s1h, "k", "1d", n_parts=8).to_pandas() \
+        .sort_values(["k", "bucket_ts", "reg"]).reset_index(drop=True)
+    direct = distinct.hll_tier(rd.from_pandas(df), "k", "ts", "item", "1d",
+                               p=8, n_parts=3).to_pandas() \
+        .sort_values(["k", "bucket_ts", "reg"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(via, direct)
+
+
+def test_hll_estimate_within_standard_error():
+    from tslib_ray.stages import distinct
+    # planted cardinalities spanning the linear-counting and raw regimes
+    rows = []
+    for key, n_distinct in (("a", 60), ("b", 2000), ("c", 20000)):
+        items = [f"{key}-{i}" for i in range(n_distinct)] * 2
+        rows.append(pd.DataFrame({
+            "k": key, "ts": pd.Timestamp("2024-01-01"), "item": items}))
+    ds = rd.from_pandas(pd.concat(rows, ignore_index=True))
+    sk = distinct.hll_tier(ds, "k", "ts", "item", "1d", p=10, n_parts=4)
+    est = distinct.hll_estimate(sk, "k", p=10, n_parts=4).to_pandas() \
+        .set_index("k")["n_distinct"]
+    for key, n_distinct in (("a", 60), ("b", 2000), ("c", 20000)):
+        assert abs(est[key] - n_distinct) / n_distinct < 0.10, (
+            key, est[key], n_distinct)
+
+
+def test_hll_merge_order_invariant():
+    """max-merge must be deterministic under any partitioning."""
+    from tslib_ray.stages import distinct
+    df = _sketch_df(n=2000)
+    df["item"] = "x" + (df["v"] * 11).astype(int).astype(str)
+    a = distinct.hll_tier(rd.from_pandas(df), "k", "ts", "item", "1d",
+                          p=6, n_parts=2).to_pandas()
+    b = distinct.hll_tier(rd.from_pandas(df.iloc[::-1]), "k", "ts", "item",
+                          "1d", p=6, n_parts=7).to_pandas()
+    key = ["k", "bucket_ts", "reg"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsample (stages/downsample.py)
+# ---------------------------------------------------------------------------
+
+def test_lttb_kernel_properties():
+    from tslib_ray.stages.downsample import lttb_indices
+    rng = np.random.default_rng(9)
+    ts = np.sort(rng.integers(0, 10**9, 500))
+    v = rng.normal(size=500)
+    idx = lttb_indices(ts, v, 20)
+    assert idx.size == 20 and idx[0] == 0 and idx[-1] == 499
+    assert np.all(np.diff(idx) > 0)
+    # n <= n_out: passthrough
+    assert np.array_equal(lttb_indices(ts[:5], v[:5], 20), np.arange(5))
+    # spike preservation: a huge outlier must be selected
+    v2 = np.zeros(500); v2[237] = 1e6
+    assert 237 in lttb_indices(ts, v2, 20)
+
+
+def test_lttb_distributed_equals_sequential(sf_small):
+    from tslib_ray.stages.downsample import lttb_frame, lttb_per_key
+    ev = pd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+    seq = pd.concat(
+        [lttb_frame(g, "ts", "value", 16, ["ts", "event_id"])
+         for _, g in ev.groupby("user_id", sort=True)],
+        ignore_index=True)
+    ds = rd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+    dist = lttb_per_key(ds, "user_id", "ts", "value", n_out=16,
+                        tiebreak="event_id", n_parts=8).to_pandas()
+    key = ["user_id", "event_id"]
+    pd.testing.assert_frame_equal(
+        dist[seq.columns].sort_values(key).reset_index(drop=True),
+        seq.sort_values(key).reset_index(drop=True))
+
+
+def test_compact_retention_serves_each_bucket_once(sf_small):
+    from tslib_ray.pipelines.queries import q_compact_retention
+    out = q_compact_retention(sf_small).to_pandas()
+    assert set(out["tier"]) <= {"1m", "1d"}
+    cut_fine = out.loc[out["tier"] == "1m", "bucket_ts"].min()
+    cut_coarse = out.loc[out["tier"] == "1d", "bucket_ts"].max()
+    # coarse rows end strictly before the first fine day
+    assert cut_coarse < cut_fine.floor("D") + pd.Timedelta(0)
+    # no (user, minute-of-day) served by both tiers
+    fine_days = set(out.loc[out["tier"] == "1m", "bucket_ts"].dt.floor("D"))
+    coarse_days = set(out.loc[out["tier"] == "1d", "bucket_ts"])
+    assert not (fine_days & coarse_days)

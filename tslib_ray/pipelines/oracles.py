@@ -215,3 +215,18 @@ def gapfill_svd_values(sf_dir: str = DRIVER_SF_DIR, k: int = 4) -> str:
     out["n_observed"] = out["n_observed"].astype(np.int64)
     out["sum_filled"] = r6(out["sum_filled"].to_numpy())
     return values_sql(out)
+
+
+def lttb_values(sf_dir: str = DRIVER_SF_DIR, n_out: int = 16) -> str:
+    """Sequential LTTB over the whole events fixture, one series at a time —
+    the distributed path must reproduce these rows exactly (the kernel is
+    shared; the shuffle + per-partition grouping is what's under test)."""
+    from ..stages.downsample import lttb_frame
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+    frames = [lttb_frame(g, "ts", "value", n_out, ["ts", "event_id"])
+              for _, g in ev.groupby("user_id", sort=True)]
+    out = pd.concat(frames, ignore_index=True)[
+        ["user_id", "event_id", "ts", "value"]]
+    out["value"] = r6(out["value"].to_numpy())
+    return values_sql(out)

@@ -285,6 +285,106 @@ _HISTOGRAM_SQL = """
     FROM events GROUP BY 1, 2, 3"""
 
 
+def q_hll_distinct_1d(sf_dir: str):
+    """Distinct users per (event_type, day) as mergeable HyperLogLog
+    register rows (stages/distinct.py) — the cardinality continuous
+    aggregate. The md5 hash basis makes the *exact register contents*
+    SQL-checkable (not just a tolerance band on the estimate); the
+    estimate path is pytest-bounded separately."""
+    from ..stages.distinct import hll_tier
+    ds = _events(sf_dir, ["event_type", "ts", "user_id"])
+    return hll_tier(ds, "event_type", "ts", "user_id", "1d", p=10)
+
+
+# register = top 10 bits of the md5-based 64-bit hash; rho = leading-zero
+# count of the remaining 54 bits + 1 (bin() is minimal-width, so bit length
+# = length(bin(w)) with an explicit w = 0 guard since bin(0) = '0')
+_HLL_SQL = """
+    WITH h AS (
+        SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+               md5_number_lower(CAST(user_id AS VARCHAR))::UBIGINT AS hv
+        FROM events),
+    r AS (
+        SELECT event_type, bucket_ts,
+               CAST(hv >> 54 AS INTEGER) AS reg,
+               CAST(CASE WHEN (hv % (1::UBIGINT << 54)) = 0::UBIGINT THEN 55
+                    ELSE 55 - length(bin(hv % (1::UBIGINT << 54)))
+                    END AS INTEGER) AS rho
+        FROM h)
+    SELECT event_type, bucket_ts, reg, MAX(rho) AS rho
+    FROM r GROUP BY 1, 2, 3"""
+
+
+def q_compact_retention(sf_dir: str):
+    """Retention-policy compaction: ONE fused tier cascade, then the serving
+    dataset keeps the fine 1m tier for buckets on/after the cutoff
+    (floor-day of max ts minus 7 days — derived from the data, so the query
+    is reproducible) and the coarse 1d tier strictly before it. This is the
+    north rule's retention story as a single dataset: recent data at full
+    resolution, old data compacted, nothing served twice."""
+    from ray.data.aggregate import Max
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    mx = ds.aggregate(Max("ts"))["max(ts)"]
+    cutoff = (np.datetime64(pd.Timestamp(mx).to_datetime64(), "us")
+              .astype("datetime64[D]").astype("datetime64[us]")
+              - np.timedelta64(7, "D"))
+    tiers = R.value_tiers_per_key(ds, "user_id", "ts", "value",
+                                  tiers=("1m", "1d"))
+    cut = pa.scalar(cutoff.astype("datetime64[us]").item(),
+                    type=pa.timestamp("us"))
+
+    def keep(b: pa.Table) -> pa.Table:
+        fine = pc.and_(pc.equal(b["tier"], "1m"),
+                       pc.greater_equal(b["bucket_ts"], cut))
+        coarse = pc.and_(pc.equal(b["tier"], "1d"),
+                         pc.less(b["bucket_ts"], cut))
+        return b.filter(pc.or_(fine, coarse))
+
+    return _round6(tiers.map_batches(keep, batch_format="pyarrow"))
+
+
+# bucket_ts >= cutoff on the 1m tier == ts >= cutoff (cutoff is day-aligned
+# and the minute floor never crosses it); likewise 1d/< — so the SQL can
+# filter raw rows before grouping
+_COMPACT_SQL = """
+    WITH cut AS (SELECT date_trunc('day', MAX(ts)) - INTERVAL 7 DAY AS c
+                 FROM events)
+    SELECT user_id, '1m' AS tier, date_trunc('minute', ts) AS bucket_ts,
+           FLOOR((SUM(value)) * 1000000 + 0.5) / 1000000 AS sum_value,
+           FLOOR((MIN(value)) * 1000000 + 0.5) / 1000000 AS min_value,
+           FLOOR((MAX(value)) * 1000000 + 0.5) / 1000000 AS max_value,
+           COUNT(value) AS n,
+           FLOOR((SUM(value) / COUNT(value)) * 1000000 + 0.5) / 1000000 AS mean_value
+    FROM events, cut WHERE ts >= cut.c GROUP BY 1, 3
+    UNION ALL
+    SELECT user_id, '1d' AS tier, date_trunc('day', ts) AS bucket_ts,
+           FLOOR((SUM(value)) * 1000000 + 0.5) / 1000000 AS sum_value,
+           FLOOR((MIN(value)) * 1000000 + 0.5) / 1000000 AS min_value,
+           FLOOR((MAX(value)) * 1000000 + 0.5) / 1000000 AS max_value,
+           COUNT(value) AS n,
+           FLOOR((SUM(value) / COUNT(value)) * 1000000 + 0.5) / 1000000 AS mean_value
+    FROM events, cut WHERE ts < cut.c GROUP BY 1, 3"""
+
+
+def q_lttb_downsample(sf_dir: str):
+    """Shape-preserving per-user LTTB downsample to 16 points
+    (stages/downsample.py) — the downsample leg of the rollup + downsample +
+    retention engine. Oracle: sequential execution of the same kernel over
+    the fixture (VALUES protocol) — the hash-bucket shuffle + per-partition
+    grouping is what's under test."""
+    from ..stages.downsample import lttb_per_key
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = lttb_per_key(ds, "user_id", "ts", "value", n_out=16,
+                       tiebreak="event_id")
+    return _round6(out.select_columns(["user_id", "event_id", "ts",
+                                       "value"]), ["value"])
+
+
+def _lttb_sql() -> str:
+    from .oracles import lttb_values
+    return lttb_values()
+
+
 def q_asof_error_context(sf_dir: str):
     """As-of join: every purchase event picks up the most recent prior
     error event of the same user (inclusive backward match) — the classic
@@ -1203,6 +1303,9 @@ QUERIES: dict = {
     "asof_error_context": (q_asof_error_context, _ASOF_SQL),
     "quantile_value_1h": (q_quantile_value_1h, _QUANTILE_SQL),
     "histogram_1h": (q_histogram_1h, _HISTOGRAM_SQL),
+    "hll_distinct_1d": (q_hll_distinct_1d, _HLL_SQL),
+    "compact_retention": (q_compact_retention, _COMPACT_SQL),
+    "lttb_downsample": (q_lttb_downsample, _lttb_sql),
     "token_count": (q_token_count, _token_count_sql()),
     "rolling_1h": (q_rolling_1h, _ROLLING_SQL),
     "normalize_value": (q_normalize_value, _NORMALIZE_SQL),
