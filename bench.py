@@ -88,7 +88,8 @@ def run_benchmarks() -> dict:
                  "matmul_large", "top_customers", "gorilla_roundtrip_1h",
                  "asof_error_context", "rolling_1h", "quantile_value_1h",
                  "histogram_1h", "hll_distinct_1d", "compact_retention",
-                 "lttb_downsample"):
+                 "lttb_downsample", "counter_rate_1h", "twa_1h",
+                 "hash_split", "distinct_sample_1d"):
         timed(name)
 
     value = timings[headline]

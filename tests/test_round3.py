@@ -580,3 +580,146 @@ def test_compact_retention_serves_each_bucket_once(sf_small):
     fine_days = set(out.loc[out["tier"] == "1m", "bucket_ts"].dt.floor("D"))
     coarse_days = set(out.loc[out["tier"] == "1d", "bucket_ts"])
     assert not (fine_days & coarse_days)
+
+
+# ---------------------------------------------------------------------------
+# per-key ordered window ops (stages/window.py)
+# ---------------------------------------------------------------------------
+
+def _series_df(n=4000, seed=11):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "eid": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 2 * 86400, n), unit="s"),
+        # sawtooth-ish counter with planted resets
+        "v": np.round(np.abs(np.cumsum(rng.normal(1, 3, n))) % 500, 2),
+    })
+    return df
+
+
+def test_counter_increase_matches_pandas_reference():
+    from tslib_ray.stages.window import counter_increase
+    df = _series_df()
+    got = counter_increase(rd.from_pandas(df), "k", "ts", "v", "1h",
+                           tiebreak="eid", n_parts=7).to_pandas()
+    s = df.sort_values(["k", "ts", "eid"], kind="mergesort")
+    delta = s.groupby("k", sort=False)["v"].diff()
+    inc = np.where(delta < 0, s["v"], delta)
+    ref = pd.DataFrame({"k": s["k"], "bucket_ts": s["ts"].dt.floor("h"),
+                        "increase": inc, "n": delta.notna()})
+    ref = ref[delta.notna()].groupby(["k", "bucket_ts"], as_index=False) \
+        .agg(increase=("increase", "sum"), n_deltas=("n", "sum"))
+    key = ["k", "bucket_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    ref = ref.sort_values(key).reset_index(drop=True)
+    assert np.array_equal(got["n_deltas"], ref["n_deltas"])
+    np.testing.assert_allclose(got["increase"], ref["increase"], atol=1e-9)
+    ref["bucket_ts"] = ref["bucket_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got[key], ref[key], check_dtype=False)
+
+
+def test_counter_increase_partition_invariant():
+    from tslib_ray.stages.window import counter_increase
+    df = _series_df(seed=12)
+    key = ["k", "bucket_ts"]
+    a = counter_increase(rd.from_pandas(df), "k", "ts", "v", "1h",
+                         tiebreak="eid", n_parts=3).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = counter_increase(rd.from_pandas(df.iloc[::-1]), "k", "ts", "v", "1h",
+                         tiebreak="eid", n_parts=11).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_twa_matches_pandas_reference():
+    from tslib_ray.stages.window import time_weighted_avg
+    df = _series_df(seed=13)
+    got = time_weighted_avg(rd.from_pandas(df), "k", "ts", "v", "1h",
+                            tiebreak="eid", n_parts=5).to_pandas()
+    rows = []
+    for (k, b), g in df.assign(bucket=df["ts"].dt.floor("h")) \
+            .groupby(["k", "bucket"], sort=True):
+        g = g.sort_values(["ts", "eid"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        end = np.int64(pd.Timestamp(b).value // 1000 + 3_600_000_000)
+        w = np.append(np.diff(ts), end - ts[-1]).astype(np.float64)
+        rows.append((k, b, float((g["v"].to_numpy() * w).sum() / w.sum()),
+                     len(g)))
+    ref = pd.DataFrame(rows, columns=["k", "bucket_ts", "twa", "n_samples"])
+    key = ["k", "bucket_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    ref = ref.sort_values(key).reset_index(drop=True)
+    np.testing.assert_allclose(got["twa"], ref["twa"], rtol=1e-12)
+    assert np.array_equal(got["n_samples"], ref["n_samples"])
+
+
+def test_twa_constant_series_equals_constant():
+    """TWA of a constant series is that constant regardless of spacing."""
+    from tslib_ray.stages.window import time_weighted_avg
+    df = pd.DataFrame({
+        "k": ["a"] * 5, "eid": range(5),
+        "ts": pd.to_datetime([0, 1, 10, 100, 3599], unit="s"),
+        "v": [7.5] * 5})
+    out = time_weighted_avg(rd.from_pandas(df), "k", "ts", "v", "1h",
+                            tiebreak="eid", n_parts=2).to_pandas()
+    assert len(out) == 1 and out["twa"].iloc[0] == 7.5
+
+
+# ---------------------------------------------------------------------------
+# sampling operators (stages/sample.py)
+# ---------------------------------------------------------------------------
+
+def test_hash_split_deterministic_and_complete():
+    from tslib_ray.stages.sample import hash_split
+    ids = pd.DataFrame({"doc_id": np.arange(20000, dtype=np.int64)})
+    a = hash_split(rd.from_pandas(ids), "doc_id").to_pandas()
+    b = hash_split(rd.from_pandas(ids.iloc[::-1]), "doc_id").to_pandas()
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["split_a"] == m["split_b"]).all()
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.01
+    assert abs(frac["val"] - 0.05) < 0.005
+    assert abs(frac["test"] - 0.05) < 0.005
+
+
+def test_hash_split_rejects_bad_fractions():
+    from tslib_ray.stages.sample import split_thresholds
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.3})
+
+
+def test_kmv_merge_and_cascade_bit_identical():
+    from tslib_ray.stages import sample
+    df = _sketch_df(n=8000, seed=21)
+    df["item"] = "i" + (df["v"] * 53).astype(int).astype(str)
+    key = ["k", "bucket_ts", "item"]
+    a = sample.kmv_tier(rd.from_pandas(df), "k", "ts", "item", "1h",
+                        k=16, n_parts=3).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = sample.kmv_tier(rd.from_pandas(df.iloc[::-1]), "k", "ts", "item",
+                        "1h", k=16, n_parts=9).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    via = sample.kmv_cascade(rd.from_pandas(a), "k", "1d", k=16,
+                             n_parts=5).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    direct = sample.kmv_tier(rd.from_pandas(df), "k", "ts", "item", "1d",
+                             k=16, n_parts=4).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(via, direct)
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_above():
+    from tslib_ray.stages import sample
+    rows = []
+    for key, n_distinct in (("small", 30), ("big", 5000)):
+        items = [f"{key}-{i}" for i in range(n_distinct)] * 2
+        rows.append(pd.DataFrame({
+            "k": key, "ts": pd.Timestamp("2024-01-01"), "item": items}))
+    ds = rd.from_pandas(pd.concat(rows, ignore_index=True))
+    sk = sample.kmv_tier(ds, "k", "ts", "item", "1d", k=256, n_parts=4)
+    est = sample.kmv_estimate(sk, "k", k=256, n_parts=4).to_pandas() \
+        .set_index("k")["n_distinct"]
+    assert est["small"] == 30.0  # below k -> exact
+    assert abs(est["big"] - 5000) / 5000 < 0.15  # ~1/sqrt(k-2) ~ 6%

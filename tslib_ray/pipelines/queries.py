@@ -385,6 +385,108 @@ def _lttb_sql() -> str:
     return lttb_values()
 
 
+def q_counter_rate_1h(sf_dir: str):
+    """Monotonic-counter increase per (user, hour) with reset handling
+    (stages/window.py::counter_increase — Prometheus ``increase()``
+    semantics: a negative delta means the counter restarted, so the
+    increase is the new value itself). Oracle: lag() window SQL."""
+    from ..stages.window import counter_increase
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = counter_increase(ds, "user_id", "ts", "value", "1h",
+                           tiebreak="event_id")
+    return _round6(out, ["increase"])
+
+
+_COUNTER_RATE_SQL = """
+    WITH d AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events)
+    SELECT user_id, bucket_ts,
+           FLOOR(SUM(CASE WHEN value - prev < 0 THEN value
+                          ELSE value - prev END) * 1000000 + 0.5) / 1000000
+               AS increase,
+           COUNT(*) AS n_deltas
+    FROM d WHERE prev IS NOT NULL GROUP BY 1, 2"""
+
+
+def q_twa_1h(sf_dir: str):
+    """Time-weighted mean per (user, hour): each sample weighted by the
+    microseconds until the user's next sample in the bucket, last sample
+    carried to the bucket end (stages/window.py::time_weighted_avg) — the
+    gauge semantics an unweighted mean gets wrong on bursty series.
+    Oracle: lead() window SQL with date_diff microsecond weights."""
+    from ..stages.window import time_weighted_avg
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = time_weighted_avg(ds, "user_id", "ts", "value", "1h",
+                            tiebreak="event_id")
+    return _round6(out, ["twa"])
+
+
+_TWA_SQL = """
+    WITH s AS (
+        SELECT user_id, ts, value, date_trunc('hour', ts) AS bucket_ts,
+               lead(ts) OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS nxt
+        FROM events)
+    SELECT user_id, bucket_ts,
+           FLOOR((SUM(value * date_diff('microsecond', ts,
+                          COALESCE(nxt, bucket_ts + INTERVAL 1 HOUR)))
+                  / SUM(date_diff('microsecond', ts,
+                          COALESCE(nxt, bucket_ts + INTERVAL 1 HOUR))))
+                 * 1000000 + 0.5) / 1000000 AS twa,
+           COUNT(*) AS n_samples
+    FROM s GROUP BY 1, 2"""
+
+
+_SPLIT_FRACTIONS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment by md5 doc-id hash
+    (stages/sample.py::hash_split) — map-only, join-free, reproducible
+    across cluster sizes/retries; the md5 basis makes the exact per-row
+    assignment SQL-checkable."""
+    from ..stages.sample import hash_split
+    ds = _docs(sf_dir, ["doc_id"])
+    return hash_split(ds, "doc_id", _SPLIT_FRACTIONS)
+
+
+def _hash_split_sql() -> str:
+    from ..stages.sample import split_thresholds
+    ths = split_thresholds(_SPLIT_FRACTIONS)
+    hv = "md5_number_lower(CAST(doc_id AS VARCHAR))::UBIGINT"
+    cases = " ".join(
+        f"WHEN {hv} < {bound}::UBIGINT THEN '{name}'"
+        for name, bound in ths[:-1])
+    return (f"SELECT doc_id, CASE {cases} ELSE '{ths[-1][0]}' END AS split "
+            f"FROM documents")
+
+
+def q_distinct_sample_1d(sf_dir: str):
+    """Bottom-k (KMV) distinct sample: the 32 distinct users with the
+    smallest md5 hashes per (event_type, day) (stages/sample.py::kmv_tier)
+    — a mergeable, cascade-composable uniform sample of the distinct set
+    whose EXACT contents are SQL-checkable (row_number over the same
+    hash). The estimator path is pytest-bounded separately."""
+    from ..stages.sample import kmv_tier
+    ds = _events(sf_dir, ["event_type", "ts", "user_id"])
+    out = kmv_tier(ds, "event_type", "ts", "user_id", "1d", k=32)
+    return out.select_columns(["event_type", "bucket_ts", "item"])
+
+
+_KMV_SQL = """
+    WITH h AS (
+        SELECT DISTINCT event_type, date_trunc('day', ts) AS bucket_ts,
+               CAST(user_id AS VARCHAR) AS item,
+               md5_number_lower(CAST(user_id AS VARCHAR))::UBIGINT AS hv
+        FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_ts
+                                       ORDER BY hv, item) AS rn FROM h)
+    SELECT event_type, bucket_ts, item FROM r WHERE rn <= 32"""
+
+
 def q_asof_error_context(sf_dir: str):
     """As-of join: every purchase event picks up the most recent prior
     error event of the same user (inclusive backward match) — the classic
@@ -1304,6 +1406,10 @@ QUERIES: dict = {
     "quantile_value_1h": (q_quantile_value_1h, _QUANTILE_SQL),
     "histogram_1h": (q_histogram_1h, _HISTOGRAM_SQL),
     "hll_distinct_1d": (q_hll_distinct_1d, _HLL_SQL),
+    "counter_rate_1h": (q_counter_rate_1h, _COUNTER_RATE_SQL),
+    "twa_1h": (q_twa_1h, _TWA_SQL),
+    "hash_split": (q_hash_split, _hash_split_sql),
+    "distinct_sample_1d": (q_distinct_sample_1d, _KMV_SQL),
     "compact_retention": (q_compact_retention, _COMPACT_SQL),
     "lttb_downsample": (q_lttb_downsample, _lttb_sql),
     "token_count": (q_token_count, _token_count_sql()),

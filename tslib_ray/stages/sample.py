@@ -1,0 +1,202 @@
+"""Deterministic sampling operators for training-data pipelines: hash-based
+dataset splits and a mergeable bottom-k (KMV) distinct sample sketch.
+
+Both are md5-basis so the EXACT output is SQL-checkable via DuckDB's
+``md5_number_lower`` (the same device as the SimHash / HLL stages): no
+tolerance bands, no RNG state to ship — the sample IS a pure function of
+the data, which is what makes it reproducible across cluster sizes,
+retries, and resumed runs (the property a `random_sample()` call cannot
+give a 100-TB pipeline).
+
+- :func:`hash_split` — train/val/test assignment by thresholding the item's
+  64-bit hash. Map-only (ZERO shuffles); every worker computes the same
+  split for the same id, so downstream stages can re-derive membership
+  without a join.
+- :func:`kmv_tier` — per ``(key, tier-bucket)`` keep the ``k`` items with
+  the smallest hashes over DISTINCT items (Bar-Yossef et al. 2002's KMV /
+  bottom-k sketch): a uniform-without-replacement sample of the distinct
+  items that is MERGEABLE (union partials, re-take bottom-k) and therefore
+  composes through the tier cascade exactly like the HLL and histogram
+  sketches (map-side partial bottom-k -> one shuffle -> merge); also
+  yields the KMV distinct-count estimate ``(k-1) * 2^64 / h_(k)``.
+
+Reference-parity note: tslib has no sampling layer; this is part of the
+training-data surface the build plan adds on top of the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .dedup import _md5_token_hashes
+from .rollup import TIER_UNIT, _add_part, _dict_encode, floor_bucket
+
+_U64 = np.uint64
+_TWO64 = float(2 ** 64)
+
+
+def _hash_items(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """md5-based 64-bit hash per item, vocab-bounded: hash each UNIQUE
+    string once, scatter back through the dictionary codes."""
+    enc = pc.dictionary_encode(col.cast(pa.string()))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return _md5_token_hashes(uniq)[codes]
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bound on the 64-bit hash) per split, in the
+    given order; the last split absorbs the remainder. Thresholds are exact
+    integers (``floor(cum_fraction * 2^64)``) so the SQL mirror compares
+    the same UBIGINT literals."""
+    names = list(fractions)
+    if not names or abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    out, cum = [], 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, int(cum * 2 ** 64)))
+    out.append((names[-1], 2 ** 64))
+    return out
+
+
+def hash_split(ds: "rd.Dataset", id_col: str,
+               fractions: dict[str, float] | None = None) -> "rd.Dataset":
+    """Append a ``split`` column assigning each row to a named split by its
+    id hash — deterministic, map-only, join-free. Default 90/5/5
+    train/val/test."""
+    fractions = fractions or {"train": 0.90, "val": 0.05, "test": 0.05}
+    ths = split_thresholds(fractions)
+
+    def fn(b: pa.Table) -> pa.Table:
+        hv = _hash_items(b[id_col])
+        split = np.full(hv.size, ths[-1][0], dtype=object)
+        # walk thresholds high->low so the lowest matching band wins
+        for name, bound in reversed(ths[:-1]):
+            split[hv < _U64(bound)] = name
+        return b.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def kmv_tier(ds: "rd.Dataset", key: str, ts_col: str, item_col: str,
+             tier: str, k: int = 64, n_parts: int = 64) -> "rd.Dataset":
+    """Bottom-k distinct sample per ``(key, tier-bucket)``: the ``k``
+    distinct items with the smallest md5 hashes, as rows ``(key,
+    bucket_ts, item, hv)``. Map-side partials keep each block's local
+    bottom-k (so at most ``k`` rows per (key, bucket) per block enter the
+    shuffle); the merge re-deduplicates items and re-takes bottom-k —
+    bottom-k of a union equals bottom-k of bottom-k's, so the result is
+    identical under any partitioning (tested)."""
+    assert tier in TIER_UNIT, tier
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key],
+                      "bucket_ts": floor_bucket(b[ts_col], tier),
+                      "item": b[item_col].cast(pa.string())})
+        return _bottom_k(t, key, k)
+
+    partials = ds.select_columns([key, ts_col, item_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return merge_kmv_partials(partials, key, k=k, n_parts=n_parts)
+
+
+def _bottom_k(t: pa.Table, key: str, k: int) -> pa.Table:
+    """Bottom-k rows per (key, bucket_ts) of a local table — lexsort by
+    (key, bucket, hash, item), dedupe repeated items, rank-within-segment
+    <= k. One vectorized pass over all groups."""
+    if t.num_rows == 0:
+        return pa.table({key: t[key], "bucket_ts": t["bucket_ts"],
+                         "item": pa.array([], pa.string()),
+                         "hv": pa.array([], pa.uint64())})
+    hv = (t["hv"].to_numpy(zero_copy_only=False).astype(np.uint64)
+          if "hv" in t.column_names else _hash_items(t["item"]))
+    codes, uniques = _dict_encode(t[key])
+    ts_us = t["bucket_ts"].to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    icodes, iuniq = _dict_encode(t["item"])
+    order = np.lexsort((icodes, hv, ts_us, codes))
+    c, b, h, ic = codes[order], ts_us[order], hv[order], icodes[order]
+    # drop duplicate items within a (key, bucket): equal hashes sort
+    # adjacent, and equal items imply equal hashes
+    samegrp = (c[1:] == c[:-1]) & (b[1:] == b[:-1])
+    dup = np.concatenate(([False], samegrp & (ic[1:] == ic[:-1])))
+    c, b, h, ic = c[~dup], b[~dup], h[~dup], ic[~dup]
+    newseg = np.concatenate(([True], (c[1:] != c[:-1]) | (b[1:] != b[:-1])))
+    seg_id = np.cumsum(newseg) - 1
+    starts = np.flatnonzero(newseg)
+    rank = np.arange(c.size) - starts[seg_id]
+    keep = rank < k
+    return pa.table({key: pc.take(uniques, pa.array(c[keep])),
+                     "bucket_ts": pa.array(b[keep], type=pa.timestamp("us")),
+                     "item": pc.take(iuniq, pa.array(ic[keep])),
+                     "hv": pa.array(h[keep], type=pa.uint64())})
+
+
+def merge_kmv_partials(partials: "rd.Dataset", key: str, k: int = 64,
+                       n_parts: int = 64) -> "rd.Dataset":
+    """ONE hash shuffle on the key, then per-partition re-bottom-k."""
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        return _bottom_k(t.drop_columns(["_part"]), key, k)
+
+    parted = _add_part(partials, key, n_parts)
+    return parted.groupby("_part").map_groups(merge_part,
+                                              batch_format="pyarrow")
+
+
+def kmv_cascade(sketch: "rd.Dataset", key: str, coarser: str, k: int = 64,
+                n_parts: int = 64) -> "rd.Dataset":
+    """Coarsen a KMV sketch without re-reading raw data: re-floor
+    ``bucket_ts`` and re-merge (bottom-k composes exactly)."""
+    assert coarser in TIER_UNIT, coarser
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("bucket_ts")
+        return b.set_column(i, "bucket_ts",
+                            floor_bucket(b["bucket_ts"], coarser))
+
+    return merge_kmv_partials(
+        sketch.map_batches(rebucket, batch_format="pyarrow"), key,
+        k=k, n_parts=n_parts)
+
+
+def kmv_estimate(sketch: "rd.Dataset", key: str, k: int = 64,
+                 n_parts: int = 64) -> "rd.Dataset":
+    """Distinct-count estimate per (key, bucket_ts): exact count when the
+    sketch holds < k items (the sample IS the distinct set), else the KMV
+    estimator ``(k-1) / (h_(k) / 2^64)`` (Bar-Yossef et al. 2002)."""
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        codes, uniques = _dict_encode(t[key])
+        if codes.size == 0:
+            return pa.table({key: uniques.take(pa.array([], type=pa.int64())),
+                             "bucket_ts": pa.array([], pa.timestamp("us")),
+                             "n_distinct": pa.array([], pa.float64())})
+        ts_us = t["bucket_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hv = t["hv"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((hv, ts_us, codes))
+        c, b, h = codes[order], ts_us[order], hv[order]
+        newseg = np.concatenate(([True], (c[1:] != c[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(newseg)
+        counts = np.diff(np.append(starts, c.size))
+        kth = h[starts + counts - 1].astype(np.float64)  # max hash kept
+        est = np.where(counts < k, counts.astype(np.float64),
+                       (k - 1) / (kth / _TWO64))
+        return pa.table({key: pc.take(uniques, pa.array(c[starts])),
+                         "bucket_ts": pa.array(b[starts],
+                                               type=pa.timestamp("us")),
+                         "n_distinct": pa.array(est, type=pa.float64())})
+
+    parted = _add_part(sketch, key, n_parts)
+    return parted.groupby("_part").map_groups(part_fn,
+                                              batch_format="pyarrow")
