@@ -89,7 +89,8 @@ def run_benchmarks() -> dict:
                  "asof_error_context", "rolling_1h", "quantile_value_1h",
                  "histogram_1h", "hll_distinct_1d", "compact_retention",
                  "lttb_downsample", "counter_rate_1h", "twa_1h",
-                 "hash_split", "distinct_sample_1d"):
+                 "hash_split", "distinct_sample_1d", "rollup_1h_pop",
+                 "ewma_per_user", "ngram_top20"):
         timed(name)
 
     value = timings[headline]

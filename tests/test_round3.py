@@ -723,3 +723,69 @@ def test_kmv_estimate_exact_below_k_and_bounded_above():
         .set_index("k")["n_distinct"]
     assert est["small"] == 30.0  # below k -> exact
     assert abs(est["big"] - 5000) / 5000 < 0.15  # ~1/sqrt(k-2) ~ 6%
+
+
+def test_lag_delta_matches_pandas_and_partition_invariant():
+    from tslib_ray.stages.window import lag_delta
+    df = _series_df(seed=17).rename(columns={"ts": "bucket_ts"})
+    df = df.drop_duplicates(["k", "bucket_ts"])  # one row per (key, bucket)
+    got = lag_delta(rd.from_pandas(df), "k", "bucket_ts", "v",
+                    n_parts=5).to_pandas()
+    s = df.sort_values(["k", "bucket_ts"], kind="mergesort")
+    delta = s.groupby("k", sort=False)["v"].diff()
+    ref = s.assign(delta=delta)[delta.notna()][
+        ["k", "bucket_ts", "v", "delta"]]
+    key = ["k", "bucket_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    ref = ref.sort_values(key).reset_index(drop=True)
+    np.testing.assert_allclose(got["delta"], ref["delta"], atol=1e-12)
+    np.testing.assert_allclose(got["v"], ref["v"])
+    b = lag_delta(rd.from_pandas(df.iloc[::-1]), "k", "bucket_ts", "v",
+                  n_parts=13).to_pandas().sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, b)
+
+
+def test_ewma_terminal_matches_sequential_recurrence():
+    from tslib_ray.stages.window import ewma_terminal
+    df = _series_df(seed=19)
+    alpha = 0.3
+    got = ewma_terminal(rd.from_pandas(df), "k", "ts", "v", alpha,
+                        tiebreak="eid", n_parts=6).to_pandas() \
+        .set_index("k").sort_index()
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["ts", "eid"], kind="mergesort")
+        s = None
+        for v in g["v"]:
+            s = v if s is None else alpha * v + (1 - alpha) * s
+        assert abs(got.loc[k, "ewma"] - s) < 1e-9, k
+        assert got.loc[k, "n_samples"] == len(g)
+
+
+def test_ewma_rejects_bad_alpha():
+    from tslib_ray.stages.window import ewma_terminal
+    with pytest.raises(ValueError):
+        ewma_terminal(rd.from_pandas(_series_df()), "k", "ts", "v", 0.0)
+
+
+def test_ngram_topk_matches_counter_reference():
+    from collections import Counter
+    from tslib_ray.stages.text import ngram_topk
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 30)))
+             for _ in range(300)]
+    docs = rd.from_pandas(pd.DataFrame({"text": texts}))
+    got = ngram_topk(docs, n=2, k=10, n_parts=4).to_pandas()
+    c = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        c.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(map(tuple, got[["gram", "n"]].itertuples(index=False))) == ref
+
+
+def test_ngram_topk_single_token_docs_yield_nothing():
+    from tslib_ray.stages.text import ngram_topk
+    docs = rd.from_pandas(pd.DataFrame({"text": ["solo", "one", "word"]}))
+    assert ngram_topk(docs, n=2, k=5, n_parts=2).count() == 0

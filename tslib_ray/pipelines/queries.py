@@ -487,6 +487,83 @@ _KMV_SQL = """
     SELECT event_type, bucket_ts, item FROM r WHERE rn <= 32"""
 
 
+def q_rollup_1h_pop(sf_dir: str):
+    """Period-over-period delta ON the engine's own 1h tier output
+    (stages/window.py::lag_delta chained after the tier cascade): per user,
+    each present hourly bucket's sum minus the PREVIOUS present bucket's
+    (sparse-series lag); first buckets dropped. Oracle: lag() window over
+    the grouped SQL rollup."""
+    from ..stages.window import lag_delta
+    tier = _tier_slice(_value_tiers_1h(sf_dir), "1h") \
+        .select_columns(["user_id", "bucket_ts", "sum_value"])
+    out = lag_delta(tier, "user_id", "bucket_ts", "sum_value")
+    return _round6(out, ["sum_value", "delta"])
+
+
+_POP_SQL = """
+    WITH r AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                      SUM(value) AS s
+               FROM events GROUP BY 1, 2),
+    d AS (SELECT user_id, bucket_ts, s,
+                 lag(s) OVER (PARTITION BY user_id ORDER BY bucket_ts)
+                     AS prev
+          FROM r)
+    SELECT user_id, bucket_ts,
+           FLOOR(s * 1000000 + 0.5) / 1000000 AS sum_value,
+           FLOOR((s - prev) * 1000000 + 0.5) / 1000000 AS delta
+    FROM d WHERE prev IS NOT NULL"""
+
+
+_EWMA_ALPHA = 0.2
+
+
+def q_ewma_per_user(sf_dir: str):
+    """Terminal EWMA of each user's value series
+    (stages/window.py::ewma_terminal, closed-form weights -> one reduceat
+    pass; alpha=0.2). Oracle: the same closed form in SQL via pow() +
+    row_number()."""
+    from ..stages.window import ewma_terminal
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    out = ewma_terminal(ds, "user_id", "ts", "value", _EWMA_ALPHA,
+                        tiebreak="event_id")
+    return _round6(out, ["ewma"])
+
+
+_EWMA_SQL = f"""
+    WITH s AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events)
+    SELECT user_id,
+           FLOOR(SUM(CASE WHEN rn = 1
+                          THEN pow({1 - _EWMA_ALPHA}, n - 1) * value
+                          ELSE {_EWMA_ALPHA} * pow({1 - _EWMA_ALPHA}, n - rn)
+                               * value END) * 1000000 + 0.5) / 1000000
+               AS ewma,
+           COUNT(*) AS n_samples
+    FROM s GROUP BY user_id"""
+
+
+def q_ngram_top20(sf_dir: str):
+    """Corpus-level top-20 trigram counts (stages/text.py::ngram_topk) —
+    the boilerplate/contamination detector: map-side C-speed gram build +
+    partial counts, one hash shuffle, deterministic (n DESC, gram ASC)
+    tie order. Oracle: list-indexing + generate_series SQL."""
+    from ..stages.text import ngram_topk
+    return ngram_topk(_docs(sf_dir, ["doc_id", "text"]), n=3, k=20)
+
+
+_NGRAM_SQL = """
+    WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+    pos AS (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i FROM t),
+    grams AS (SELECT l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS gram
+              FROM pos)
+    SELECT gram, COUNT(*) AS n FROM grams
+    GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""
+
+
 def q_asof_error_context(sf_dir: str):
     """As-of join: every purchase event picks up the most recent prior
     error event of the same user (inclusive backward match) — the classic
@@ -1410,6 +1487,9 @@ QUERIES: dict = {
     "twa_1h": (q_twa_1h, _TWA_SQL),
     "hash_split": (q_hash_split, _hash_split_sql),
     "distinct_sample_1d": (q_distinct_sample_1d, _KMV_SQL),
+    "rollup_1h_pop": (q_rollup_1h_pop, _POP_SQL),
+    "ewma_per_user": (q_ewma_per_user, _EWMA_SQL),
+    "ngram_top20": (q_ngram_top20, _NGRAM_SQL),
     "compact_retention": (q_compact_retention, _COMPACT_SQL),
     "lttb_downsample": (q_lttb_downsample, _lttb_sql),
     "token_count": (q_token_count, _token_count_sql()),

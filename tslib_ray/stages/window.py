@@ -113,6 +113,84 @@ def counter_increase(ds: "rd.Dataset", key: str, ts_col: str,
                                               batch_format="pyarrow")
 
 
+def lag_delta(ds: "rd.Dataset", key: str, order_col: str, value_col: str,
+              tiebreak: str | None = None, n_parts: int = 64,
+              out_col: str = "delta") -> "rd.Dataset":
+    """Period-over-period change: per key in ``order_col`` order, attach
+    ``value - lag(value)``; each key's first row (no predecessor) is
+    dropped. Composes with the rollup cascade — run it on a tier slice to
+    get the bucket-over-bucket delta of any rolled-up series (the lag is
+    over PRESENT buckets, matching SQL ``lag() OVER (ORDER BY bucket)``
+    on a sparse series). Output: ``(key, order_col, value_col, out_col)``.
+    """
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        codes, uniques, order, ts_us = _sorted_partition(
+            t, key, order_col, tiebreak)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c, ts_s, v_s = codes[order], ts_us[order], v[order]
+        first = np.concatenate(([True], c[1:] != c[:-1])) \
+            if codes.size else np.zeros(0, dtype=bool)
+        delta = np.empty_like(v_s)
+        if v_s.size:
+            delta[0] = 0.0
+            delta[1:] = v_s[1:] - v_s[:-1]
+        keep = ~first
+        return pa.table({key: uniques.take(pa.array(c[keep])),
+                         order_col: pa.array(ts_s[keep],
+                                             type=pa.timestamp("us")),
+                         value_col: pa.array(v_s[keep], type=pa.float64()),
+                         out_col: pa.array(delta[keep], type=pa.float64())})
+
+    cols = [key, order_col, value_col] + ([tiebreak] if tiebreak else [])
+    parted = _add_part(ds.select_columns(cols), key, n_parts)
+    return parted.groupby("_part").map_groups(part_fn,
+                                              batch_format="pyarrow")
+
+
+def ewma_terminal(ds: "rd.Dataset", key: str, ts_col: str, value_col: str,
+                  alpha: float, tiebreak: str | None = None,
+                  n_parts: int = 64) -> "rd.Dataset":
+    """Terminal exponentially-weighted moving average per key:
+    ``s_1 = v_1; s_i = alpha * v_i + (1 - alpha) * s_{i-1}`` evaluated in
+    ``(ts, tiebreak)`` order — via the closed form ``s_n = (1-a)^(n-1) v_1
+    + sum_{i>=2} a (1-a)^(n-i) v_i``, which turns the sequential recurrence
+    into one vectorized weighted reduceat per partition (and is what makes
+    it SQL-mirrorable with ``pow()`` + ``row_number()``). Output: ``(key,
+    ewma, n_samples)``."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        codes, uniques, order, ts_us = _sorted_partition(
+            t, key, ts_col, tiebreak)
+        if codes.size == 0:
+            return pa.table({key: uniques.take(pa.array([], type=pa.int64())),
+                             "ewma": pa.array([], pa.float64()),
+                             "n_samples": pa.array([], pa.int64())})
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c, v_s = codes[order], v[order]
+        newseg = np.concatenate(([True], c[1:] != c[:-1]))
+        starts = np.flatnonzero(newseg)
+        seg_id = np.cumsum(newseg) - 1
+        counts = np.diff(np.append(starts, c.size))
+        rank = np.arange(c.size) - starts[seg_id]       # 0-based position
+        expo = (counts[seg_id] - 1 - rank).astype(np.float64)
+        w = alpha * np.power(1.0 - alpha, expo)
+        w[newseg] = np.power(1.0 - alpha, expo[newseg])  # first: no alpha
+        s = np.add.reduceat(w * v_s, starts)
+        return pa.table({key: uniques.take(pa.array(c[starts])),
+                         "ewma": pa.array(s, type=pa.float64()),
+                         "n_samples": pa.array(counts, type=pa.int64())})
+
+    cols = [key, ts_col, value_col] + ([tiebreak] if tiebreak else [])
+    parted = _add_part(ds.select_columns(cols), key, n_parts)
+    return parted.groupby("_part").map_groups(part_fn,
+                                              batch_format="pyarrow")
+
+
 def time_weighted_avg(ds: "rd.Dataset", key: str, ts_col: str,
                       value_col: str, tier: str,
                       tiebreak: str | None = None,
