@@ -1467,6 +1467,260 @@ def q_media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# joins without shuffles: broadcast semi-join / map-side enrichment
+# ---------------------------------------------------------------------------
+
+def q_semijoin_top_users(sf_dir: str):
+    """Shuffle-free semi-join: the top-100 users by event count (small side,
+    computed by a partial-count aggregate + tiny sort/limit) are broadcast
+    via ``ray.put`` once; the fact table is filtered map-side and
+    re-aggregated per (user, event_type) — the 100-TB plan for
+    "big fact x small key set" (stages/join.py)."""
+    from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_semi_join
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["user_id"]).aggregate([("user_id", "count")])
+        return out.rename_columns(["user_id", "n"])
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+    top = counts.sort(["n", "user_id"], descending=[True, False]) \
+        .limit(100).to_pandas()
+    filtered = broadcast_semi_join(ds, "user_id",
+                                   top["user_id"].to_numpy())
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["user_id", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return out.rename_columns(["user_id", "event_type", "n",
+                                   "sum_value"])
+
+    merged = filtered.map_batches(agg_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(
+            Sum("n", alias_name="n"), Sum("sum_value",
+                                          alias_name="sum_value"))
+    return _round6(merged, ["sum_value"])
+
+
+_SEMIJOIN_SQL = """
+    WITH top_u AS (
+        SELECT user_id FROM events GROUP BY user_id
+        ORDER BY COUNT(*) DESC, user_id LIMIT 100)
+    SELECT e.user_id, e.event_type, COUNT(*) AS n,
+           FLOOR(SUM(e.value) * 1000000 + 0.5) / 1000000 AS sum_value
+    FROM events e JOIN top_u USING (user_id)
+    GROUP BY 1, 2"""
+
+
+def q_session_assign(sf_dir: str):
+    """Per-event session membership — the interval-join shape (assign each
+    event to its containing session window) fused into one partition-local
+    pass: session boundaries and event assignment share a single sort, no
+    second shuffle against a session table (stages/sessionize.py)."""
+    from ..stages.sessionize import sessionize
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+    out = sessionize(ds)
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+_SESSION_ASSIGN_SQL = """
+    WITH o AS (
+        SELECT event_id, user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_s,
+               ts
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
+    FROM o"""
+
+
+# ---------------------------------------------------------------------------
+# reshape: pivot (long -> wide) and unpivot (wide -> long)
+# ---------------------------------------------------------------------------
+
+def q_pivot_role_wide(sf_dir: str):
+    """Long -> wide pivot over a FIXED category set: per-conversation turn
+    counts by role as columns. Map-side indicator partials + ONE shuffle of
+    pre-aggregated rows — the pivot never widens the exchange (the wide row
+    is 4 ints regardless of input size)."""
+    from ray.data.aggregate import Sum
+    from ..sources.transcripts import EVENT_ROLE_MAP
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    role_of = {et: r for et, (r, _t) in EVENT_ROLE_MAP.items()}
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        for role in ("user", "assistant", "tool"):
+            members = [k for k, v in role_of.items() if v == role]
+            ind = pc.cast(pc.is_in(et, value_set=pa.array(members)),
+                          pa.int64())
+            b = b.append_column(f"n_{role}", ind)
+        out = b.group_by(["user_id"]).aggregate(
+            [("n_user", "sum"), ("n_assistant", "sum"), ("n_tool", "sum")])
+        return out.rename_columns(["user_id", "n_user", "n_assistant",
+                                   "n_tool"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Sum("n_user", alias_name="n_user"),
+            Sum("n_assistant", alias_name="n_assistant"),
+            Sum("n_tool", alias_name="n_tool"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        conv = pc.binary_join_element_wise(
+            pa.array(np.full(len(b), "c")),
+            pc.cast(b["user_id"], pa.string()), "")
+        return b.append_column("conv_id", conv).drop_columns(["user_id"])
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_PIVOT_ROLE_SQL = """
+    SELECT COUNT(*) FILTER (event_type NOT IN ('purchase', 'error'))
+               AS n_user,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_assistant,
+           COUNT(*) FILTER (event_type = 'error') AS n_tool,
+           'c' || CAST(user_id AS VARCHAR) AS conv_id
+    FROM events GROUP BY user_id"""
+
+
+_MELT_MEASURES = (("quantity", "l_quantity"),
+                  ("extendedprice", "l_extendedprice"),
+                  ("discount", "l_discount"))
+
+
+def q_melt_lineitem(sf_dir: str):
+    """Wide -> long unpivot (melt): three lineitem measure columns into
+    ``(measure, value)`` rows. Map-only (3x row fan-out inside each batch,
+    zero shuffle) — the unpivot an exporter runs before a long-format
+    sink."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"]
+                + [c for _m, c in _MELT_MEASURES])
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = len(b)
+        parts = [pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "measure": pa.array(np.full(n, m)),
+            "value": pc.cast(b[c], pa.float64()),
+        }) for m, c in _MELT_MEASURES]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_MELT_SQL = " UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, {c} AS value "
+    f"FROM lineitem" for m, c in _MELT_MEASURES)
+
+
+# ---------------------------------------------------------------------------
+# ordered per-key statistics: lag-1 autocorrelation, running sum
+# ---------------------------------------------------------------------------
+
+def q_autocorr_lag1(sf_dir: str):
+    """Per-user lag-1 Pearson autocorrelation of the value stream (ordered
+    by ts, event_id) — the stationarity screen run before fitting the SVD
+    page-matrix model (reference folds assume serial structure,
+    ``/root/reference/src/tsUtils.py:59-67``). One hash shuffle; all pair
+    stats via lexsort + reduceat; the corr formula uses the same explicit
+    sums the oracle SQL spells out."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"user_id": np.empty(0, dtype=u.dtype),
+                                 "n_pairs": np.empty(0, dtype=np.int64),
+                                 "autocorr": np.empty(0)})
+        same = u[1:] == u[:-1]
+        x, y, uu = v[:-1][same], v[1:][same], u[1:][same]
+        if len(uu) == 0:
+            return pd.DataFrame({"user_id": np.empty(0, dtype=u.dtype),
+                                 "n_pairs": np.empty(0, dtype=np.int64),
+                                 "autocorr": np.empty(0)})
+        starts = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]])
+        n = np.diff(np.r_[starts, len(uu)]).astype(np.float64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        syy = np.add.reduceat(y * y, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        keep = (n >= 2) & (vx > 0) & (vy > 0)
+        corr = np.full(len(n), np.nan)
+        np.divide(n * sxy - sx * sy, np.sqrt(vx * vy), out=corr,
+                  where=keep)
+        return pd.DataFrame({"user_id": uu[starts][keep],
+                             "n_pairs": n[keep].astype(np.int64),
+                             "autocorr": r6(corr[keep])})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_AUTOCORR_SQL = """
+    WITH p AS (
+        SELECT user_id, value AS y,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS x
+        FROM events),
+    q AS (
+        SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM p WHERE x IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           FLOOR(((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * 1000000 + 0.5) / 1000000 AS autocorr
+    FROM q
+    WHERE n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"""
+
+
+def q_cumsum_per_user(sf_dir: str):
+    """Per-user running total (ordered by ts, event_id) — the cumulative
+    window aggregate. Sequential left-to-right accumulation within each key
+    (pandas cython groupby-cumsum) matches SQL's running-frame order;
+    output snapped to the input's 0.01 grid (see q_user_value_dev note)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rs = g.groupby("user_id", sort=False)["value"].cumsum().to_numpy()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "running_sum": np.floor(rs * 100 + 0.5) / 100,
+        })
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_CUMSUM_SQL = """
+    SELECT event_id,
+           FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) * 100 + 0.5)
+               / 100 AS running_sum
+    FROM events"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1550,6 +1804,12 @@ QUERIES: dict = {
                             lambda: __import__(
                                 "tslib_ray.pipelines.oracles",
                                 fromlist=["incremental_values"]).incremental_values()),
+    "semijoin_top_users": (q_semijoin_top_users, _SEMIJOIN_SQL),
+    "session_assign": (q_session_assign, _SESSION_ASSIGN_SQL),
+    "pivot_role_wide": (q_pivot_role_wide, _PIVOT_ROLE_SQL),
+    "melt_lineitem": (q_melt_lineitem, _MELT_SQL),
+    "autocorr_lag1": (q_autocorr_lag1, _AUTOCORR_SQL),
+    "cumsum_per_user": (q_cumsum_per_user, _CUMSUM_SQL),
     "media_features": (q_media_features,
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",
