@@ -1720,6 +1720,73 @@ _CUMSUM_SQL = """
     FROM events"""
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified row sample: bottom-50 rows per event_type by
+    md5 id-hash (stages/sample.py::stratified_sample) — mergeable map-side
+    partials, one shuffle of <= 50 rows per stratum per block."""
+    from ..stages.sample import stratified_sample
+    ds = _events(sf_dir, ["event_type", "event_id"])
+    return stratified_sample(ds, "event_type", "event_id", k=50)
+
+
+_STRATIFIED_SQL = """
+    SELECT event_type, event_id FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY md5_number_lower(CAST(event_id AS VARCHAR))::UBIGINT,
+                            event_id) AS rn
+        FROM events) WHERE rn <= 50"""
+
+
+def q_ann_lsh(sf_dir: str):
+    """Sign-LSH ANN, SQL-checked by probing ALL buckets so the result must
+    equal exact brute-force (the knn_ivf oracle protocol); multi-probe
+    recall at radius < n_planes is pytest-bounded."""
+    from ..stages.ann import knn_lsh
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = pd.read_parquet(f"{sf_dir}/embeddings.parquet").query("vec_id == 0")
+    query = np.asarray(q0["embedding"].iloc[0], dtype=np.float64)
+    return knn_lsh(emb, query[None, :], k=10,
+                   probe_all=True)[["vec_id", "sim", "rank"]]
+
+
+def q_lookup_enrich(sf_dir: str):
+    """Dimension-table enrichment without a shuffle: the customer dimension
+    (small side, by design — a dimension fits one heap at any fact scale) is
+    broadcast once and joined map-side by binary search
+    (stages/join.py::broadcast_lookup_join); the enriched fact stream then
+    pre-aggregates per (segment, event_type) before its single shuffle."""
+    from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_lookup_join
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+    joined = broadcast_lookup_join(
+        ds, "user_id",
+        {"c_custkey": cust["c_custkey"].to_numpy(),
+         "c_mktsegment": cust["c_mktsegment"].to_numpy()},
+        "c_custkey")
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["c_mktsegment", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return out.rename_columns(["c_mktsegment", "event_type", "n",
+                                   "sum_value"])
+
+    merged = joined.map_batches(agg_partial, batch_format="pyarrow") \
+        .groupby(["c_mktsegment", "event_type"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"))
+    return _round6(merged, ["sum_value"])
+
+
+_LOOKUP_ENRICH_SQL = """
+    SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+           FLOOR(SUM(e.value) * 1000000 + 0.5) / 1000000 AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1810,6 +1877,9 @@ QUERIES: dict = {
     "melt_lineitem": (q_melt_lineitem, _MELT_SQL),
     "autocorr_lag1": (q_autocorr_lag1, _AUTOCORR_SQL),
     "cumsum_per_user": (q_cumsum_per_user, _CUMSUM_SQL),
+    "stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
+    "ann_lsh": (q_ann_lsh, _ANN_IVF_SQL),
+    "lookup_enrich": (q_lookup_enrich, _LOOKUP_ENRICH_SQL),
     "media_features": (q_media_features,
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",

@@ -309,3 +309,91 @@ def cosine_pairs_exact(embeddings: "rd.Dataset", threshold: float = 0.95,
             lambda g: g.drop(columns=["_part"]).groupby(
                 id_col, as_index=False, sort=True)["dup_root"].min(),
             batch_format="pandas")
+
+
+def lsh_planes(d: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
+    """Seeded random hyperplanes for sign-LSH (Charikar 2002): ``n_planes``
+    unit-normalized Gaussian directions in R^d."""
+    rng = np.random.default_rng(seed)
+    return _normalize_rows(rng.standard_normal((n_planes, d)))
+
+
+def _lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack the sign bits of ``m @ planes.T`` into a uint32 bucket id."""
+    bits = (m @ planes.T) >= 0.0
+    weights = (np.uint32(1) << np.arange(planes.shape[0],
+                                         dtype=np.uint32))
+    return (bits.astype(np.uint32) @ weights).astype(np.uint32)
+
+
+def _hamming_ball(bucket: int, n_planes: int, radius: int) -> np.ndarray:
+    """All bucket ids within Hamming distance <= radius of ``bucket``."""
+    out = [bucket]
+    if radius >= 1:
+        for i in range(n_planes):
+            out.append(bucket ^ (1 << i))
+    if radius >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                out.append(bucket ^ (1 << i) ^ (1 << j))
+    return np.unique(np.asarray(out, dtype=np.uint32))
+
+
+def knn_lsh(embeddings: "rd.Dataset", queries: np.ndarray, k: int = 10,
+            n_planes: int = 8, radius: int = 1, probe_all: bool = False,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 7) -> pd.DataFrame:
+    """Sign-LSH bucketed cosine top-k — the shuffle-free ANN scale path
+    beside :func:`knn_ivf` (no centroid training pass at all: the buckets
+    are a pure function of (seed, vector), so the index costs ONE
+    ``map_batches`` and composes with resume/retry for free).
+
+    Each batch computes its vectors' 2^n_planes sign-buckets and scores
+    only vectors whose bucket lies within Hamming distance ``radius`` of
+    the query's bucket (multi-probe LSH — Lv et al. 2007). With
+    ``probe_all=True`` every bucket is probed and the result is EXACTLY
+    brute-force top-k (the SQL-oracle protocol used for ``knn_ivf``);
+    partial-probe recall is pytest-bounded."""
+    q = _normalize_rows(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    planes = lsh_planes(q.shape[1], n_planes, seed)
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(q)
+    if probe_all:
+        probe_sets = [None] * q.shape[0]
+    else:
+        qb = _lsh_bucket(q, planes)
+        probe_sets = [_hamming_ball(int(b), n_planes, radius) for b in qb]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        qm = ray.get(q_ref)
+        m = _normalize_rows(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        buckets = _lsh_bucket(m, pl)
+        tables = []
+        for qi, pset in enumerate(probe_sets):
+            sel = (np.ones(len(m), dtype=bool) if pset is None
+                   else np.isin(buckets, pset))
+            if not sel.any():
+                continue
+            sims = qm[qi] @ m[sel].T
+            kk = min(k, sims.size)
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            tables.append(pa.table({
+                "query_idx": pa.array(np.full(kk, qi, dtype=np.int32)),
+                id_col: pa.array(ids[sel][top]),
+                "sim": pa.array(np.floor(sims[top] * 1e6 + 0.5) / 1e6),
+            }))
+        if not tables:
+            return pa.table({"query_idx": pa.array([], type=pa.int32()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.concat_tables(tables)
+
+    cand = embeddings.map_batches(local_topk,
+                                  batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_idx", "sim", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+    out = cand.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_idx").cumcount().astype(np.int32)
+    return out

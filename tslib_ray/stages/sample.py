@@ -200,3 +200,50 @@ def kmv_estimate(sketch: "rd.Dataset", key: str, k: int = 64,
     parted = _add_part(sketch, key, n_parts)
     return parted.groupby("_part").map_groups(part_fn,
                                               batch_format="pyarrow")
+
+
+def _row_bottom_k(t: pa.Table, stratum_col: str, id_col: str,
+                  k: int) -> pa.Table:
+    """Bottom-k ROWS per stratum by (md5 hash, id) — one lexsort pass over
+    every stratum in the table (ids are unique rows, so no dedup step)."""
+    if t.num_rows == 0:
+        return pa.table({stratum_col: t[stratum_col], id_col: t[id_col],
+                         "hv": pa.array([], pa.uint64())})
+    hv = (t["hv"].to_numpy(zero_copy_only=False).astype(np.uint64)
+          if "hv" in t.column_names
+          else _hash_items(pc.cast(t[id_col], pa.string())))
+    codes, uniques = _dict_encode(t[stratum_col])
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, hv, codes))
+    c, h, i = codes[order], hv[order], ids[order]
+    newseg = np.concatenate(([True], c[1:] != c[:-1]))
+    starts = np.flatnonzero(newseg)
+    rank = np.arange(c.size) - starts[np.cumsum(newseg) - 1]
+    keep = rank < k
+    return pa.table({stratum_col: pc.take(uniques, pa.array(c[keep])),
+                     id_col: pa.array(i[keep]),
+                     "hv": pa.array(h[keep], type=pa.uint64())})
+
+
+def stratified_sample(ds: "rd.Dataset", stratum_col: str, id_col: str,
+                      k: int = 50, n_parts: int = 32) -> "rd.Dataset":
+    """Deterministic stratified row sample: the ``k`` rows with the smallest
+    md5 id-hashes per stratum. Same mergeability as the KMV sketch (bottom-k
+    of a union == bottom-k of bottom-k's), so map-side partials bound the
+    shuffle at ``k`` rows per stratum per block and the result is identical
+    at any parallelism — and, being hash-based, it is SQL-checkable row for
+    row (row_number over the same md5 ordering)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _row_bottom_k(b, stratum_col, id_col, k)
+
+    partials = ds.select_columns([stratum_col, id_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        return _row_bottom_k(t.drop_columns(["_part"]), stratum_col,
+                             id_col, k).drop_columns(["hv"])
+
+    parted = _add_part(partials, stratum_col, n_parts)
+    return parted.groupby("_part").map_groups(merge,
+                                              batch_format="pyarrow")
