@@ -1787,6 +1787,102 @@ _LOOKUP_ENRICH_SQL = """
     GROUP BY 1, 2"""
 
 
+def q_argmax_per_user(sf_dir: str):
+    """Arg-max aggregation: each user's single highest-value event (row, not
+    scalar — deterministic tiebreak on event_id). Mergeable: per-block
+    partial argmax rows (one row per user per block) enter the one shuffle,
+    so the exchange is bounded by |users| x |blocks| regardless of fact
+    size."""
+    ds = _events(sf_dir, ["user_id", "event_id", "event_type", "value"])
+
+    def best_rows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, -v, u))
+        uu = u[order]
+        first = np.concatenate(([True], uu[1:] != uu[:-1]))
+        return t.take(pa.array(order[first]))
+
+    partials = ds.map_batches(best_rows, batch_format="pyarrow")
+    parted = R._add_part(partials, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda t: best_rows(t.drop_columns(["_part"])),
+        batch_format="pyarrow")
+
+
+_ARGMAX_SQL = """
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events) WHERE rn = 1"""
+
+
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((event_type, user_id), (event_type)) in ONE fact-table
+    pass: the coarse level is re-aggregated from the finest level's (tiny)
+    output — the dimension-hierarchy analogue of the tier cascade
+    (stages/rollup.py::cascade), so the raw data is shuffled once and each
+    coarser level costs only a shuffle of pre-aggregated rows."""
+    from ray.data.aggregate import Sum
+    ds = _events(sf_dir, ["event_type", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return out.rename_columns(["event_type", "user_id", "n",
+                                   "sum_value"])
+
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]).aggregate(
+            Sum("n", alias_name="n"), Sum("sum_value",
+                                          alias_name="sum_value"))
+    coarse = fine.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+
+    def null_user(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "user_id", pa.nulls(len(b), type=pa.int64()))
+
+    coarse = coarse.map_batches(null_user, batch_format="pyarrow")
+    out = fine.union(coarse.select_columns(fine.schema().names))
+    return _round6(out, ["sum_value"])
+
+
+_GROUPING_SETS_SQL = """
+    SELECT event_type, user_id, COUNT(*) AS n,
+           FLOOR(SUM(value) * 1000000 + 0.5) / 1000000 AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id), (event_type))"""
+
+
+def q_text_clean(sf_dir: str):
+    """Text normalization for training-data prep: lowercase, collapse runs
+    of whitespace, trim — fully vectorized Arrow kernels (utf8_lower +
+    RE2 replace), zero shuffle. Both engines use RE2 ``\\s`` semantics, so
+    the cleaned strings are byte-identical to the SQL mirror."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b["text"])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table({"doc_id": b["doc_id"], "text_clean": t,
+                         "clean_len": pc.utf8_length(t)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_TEXT_CLEAN_SQL = """
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS text_clean,
+           LENGTH(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
+               AS clean_len
+    FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1880,6 +1976,9 @@ QUERIES: dict = {
     "stratified_sample": (q_stratified_sample, _STRATIFIED_SQL),
     "ann_lsh": (q_ann_lsh, _ANN_IVF_SQL),
     "lookup_enrich": (q_lookup_enrich, _LOOKUP_ENRICH_SQL),
+    "argmax_per_user": (q_argmax_per_user, _ARGMAX_SQL),
+    "grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
+    "text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
     "media_features": (q_media_features,
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",
