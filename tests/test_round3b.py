@@ -121,3 +121,34 @@ def test_stratified_sample_small_stratum_returns_all_rows():
                             k=10).to_pandas()
     assert (out["stratum"] == "x").sum() == 3
     assert (out["stratum"] == "y").sum() == 10
+
+
+def test_resample_locf_semantics_and_partition_invariance():
+    from tslib_ray.stages.gapfill import resample_locf
+    ts = pd.to_datetime([
+        "2024-01-01 00:10", "2024-01-01 00:10",  # tie: order 2 wins
+        "2024-01-01 02:30",
+        "2024-01-02 05:00",                      # other key
+    ]).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+        "ts": ts,
+        "event_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "value": np.array([10.0, 20.0, 30.0, 7.0]),
+    })
+    out = resample_locf(rd.from_pandas(df), freq_s=3600,
+                        n_parts=4).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("bucket_ts")
+    # grid: 00:00 (before first event -> dropped), 01:00, 02:00 carry the
+    # tie-winning 20.0; the 02:30 event has no grid point after it within
+    # span (02:00 < 02:30 = max ts -> grid ends at 02:00)
+    assert u1["bucket_ts"].dt.hour.tolist() == [1, 2]
+    assert u1["value"].tolist() == [20.0, 20.0]
+    u2 = out[out["user_id"] == 2]
+    assert u2["value"].tolist() == [7.0] and len(u2) == 1
+    # partition invariance
+    out2 = resample_locf(rd.from_pandas(df).repartition(3), freq_s=3600,
+                         n_parts=1).to_pandas()
+    a = out.sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    b = out2.sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1883,6 +1883,32 @@ _TEXT_CLEAN_SQL = """
     FROM documents"""
 
 
+def q_resample_locf(sf_dir: str):
+    """Hourly LOCF resample per user (stages/gapfill.py::resample_locf) —
+    irregular stream -> regular grid with forward-fill, ties resolved
+    arg_max(event_id), grid points before the first event dropped (inner
+    ASOF semantics, mirrored by DuckDB's ASOF JOIN)."""
+    from ..stages.gapfill import resample_locf
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    return resample_locf(ds, freq_s=3600)
+
+
+_RESAMPLE_LOCF_SQL = """
+    WITH e AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS value
+        FROM events GROUP BY user_id, ts),
+    bounds AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx
+        FROM events GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                   AS bucket_ts
+        FROM bounds)
+    SELECT g.user_id, g.bucket_ts, e.value
+    FROM grid g ASOF JOIN e
+        ON g.user_id = e.user_id AND g.bucket_ts >= e.ts"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1979,6 +2005,7 @@ QUERIES: dict = {
     "argmax_per_user": (q_argmax_per_user, _ARGMAX_SQL),
     "grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
     "text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
+    "resample_locf": (q_resample_locf, _RESAMPLE_LOCF_SQL),
     "media_features": (q_media_features,
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",

@@ -167,3 +167,74 @@ def gap_fill(tier_points: "rd.Dataset", keys, tier: str,
     parted = _add_part(tier_points.select_columns(cols), keys[0], n_parts)
     return parted.groupby("_part").map_groups(
         lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+def resample_locf(ds: "rd.Dataset", key: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  order_col: str = "event_id", freq_s: int = 3600,
+                  n_parts: int = 64) -> "rd.Dataset":
+    """Resample each key's irregular stream onto a regular ``freq_s`` grid
+    with last-observation-carried-forward (LOCF) — the step-function
+    complement to the linear interpolation in :func:`gap_fill`.
+
+    Grid spans ``floor(first ts) .. last ts`` per key (inclusive, matching
+    SQL ``generate_series``); grid points before the key's first event are
+    dropped (inner ASOF semantics). Ties at identical ``ts`` resolve to the
+    row with the largest ``order_col`` (``arg_max``), so the result is
+    deterministic and SQL-mirrorable.
+
+    One hash shuffle; inside a partition every key is handled by a single
+    offset-encoded ``searchsorted`` (events and grid rows share a
+    ``key_index * OFF + ts`` composite code, so no per-key Python loop).
+    """
+    from .rollup import _add_part
+
+    step = np.int64(freq_s) * 1_000_000  # grid step in µs
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype=g[key].dtype),
+            "bucket_ts": pd.Series([], dtype="datetime64[us]"),
+            value_col: pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([key, ts_col, order_col], kind="mergesort")
+        u = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g[value_col].to_numpy()
+        # arg_max(order_col) per (key, ts): keep the LAST row of each tie run
+        last = np.concatenate(((u[:-1] != u[1:]) | (ts[:-1] != ts[1:]),
+                               [True]))
+        eu, ets, ev = u[last], ts[last], v[last]
+        # per-key segment bounds over the deduped stream
+        starts = np.flatnonzero(np.concatenate(([True], eu[1:] != eu[:-1])))
+        ends = np.append(starts[1:], len(eu))
+        mn = (ets[starts] // step) * step       # floor to the grid
+        mx = ets[ends - 1]
+        cnt = (mx - mn) // step + 1             # inclusive grid length
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        kidx = np.repeat(np.arange(len(starts)), cnt)
+        csum0 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        intra = np.arange(total) - np.repeat(csum0, cnt)
+        grid_ts = mn[kidx] + intra * step
+        # composite monotone code: key slot * OFF + (ts - base)
+        base = min(int(ets.min()), int(mn.min()))
+        span = max(int(ets.max()), int(grid_ts.max())) - base + 2
+        ekey = np.searchsorted(eu[starts], eu)  # key slot per event row
+        code_e = ekey * span + (ets - base)
+        code_g = kidx * span + (grid_ts - base)
+        idx = np.searchsorted(code_e, code_g, side="right") - 1
+        valid = idx >= 0
+        valid[valid] &= ekey[idx[valid]] == kidx[valid]
+        return pd.DataFrame({
+            key: eu[starts][kidx[valid]],
+            "bucket_ts": grid_ts[valid].astype("datetime64[us]"),
+            value_col: ev[idx[valid]],
+        })
+
+    parted = _add_part(ds.select_columns([key, ts_col, order_col,
+                                          value_col]), key, n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
