@@ -1909,6 +1909,58 @@ _RESAMPLE_LOCF_SQL = """
         ON g.user_id = e.user_id AND g.bucket_ts >= e.ts"""
 
 
+def q_join_priority_flag(sf_dir: str):
+    """Large x large co-partitioned hash join (both sides too big to
+    broadcast at scale): lineitem |><| orders on the order key via Ray
+    Data's native hash join (one exchange per side, co-partitioned
+    aggregators), then map-side partial aggregation so only tiny
+    (priority, flag) partials reach the final shuffle. Columns pruned at
+    the read on both sides."""
+    from ray.data.aggregate import Sum
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderpriority"])
+    # join aggregators are ACTORS: sizing them >= session CPUs starves the
+    # upstream map tasks and deadlocks (same rule as actor-pool codecs), so
+    # derive the partition count from the cluster, capped for small runs
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+    joined = li.join(od, "inner", num_partitions=max(2, ncpu // 2),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["o_orderpriority", "l_returnflag"]).aggregate(
+            [("l_extendedprice", "count"), ("l_extendedprice", "sum")])
+        return out.rename_columns(["o_orderpriority", "l_returnflag", "n",
+                                   "sum_price"])
+
+    merged = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderpriority", "l_returnflag"]).aggregate(
+            Sum("n", alias_name="n"), Sum("sum_price",
+                                          alias_name="sum_price"))
+
+    # prices are 2-decimal source data: round both sides to the 0.01 grid
+    # (the pricing_summary device — at 6dp the accumulation-order noise of
+    # a ~1e9 sum exceeds the grid)
+    def grid_round(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("sum_price")
+        r = pc.divide(pc.floor(pc.add(pc.multiply(b["sum_price"],
+                                                  pa.scalar(1e2)),
+                                      pa.scalar(0.5))), pa.scalar(1e2))
+        return b.set_column(i, "sum_price", r)
+
+    return merged.map_batches(grid_round, batch_format="pyarrow")
+
+
+_JOIN_PRIORITY_SQL = """
+    SELECT o_orderpriority, l_returnflag, COUNT(*) AS n,
+           FLOOR(SUM(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2006,6 +2058,7 @@ QUERIES: dict = {
     "grouping_sets": (q_grouping_sets, _GROUPING_SETS_SQL),
     "text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
     "resample_locf": (q_resample_locf, _RESAMPLE_LOCF_SQL),
+    "join_priority_flag": (q_join_priority_flag, _JOIN_PRIORITY_SQL),
     "media_features": (q_media_features,
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",
