@@ -1961,6 +1961,76 @@ _JOIN_PRIORITY_SQL = """
     GROUP BY 1, 2"""
 
 
+def q_new_users_daily(sf_dir: str):
+    """First-seen cohort counts: users bucketed by the day of their first
+    event. Mergeable min-partials (one row per user per block) -> groupby
+    min -> tiny day-count aggregate; the fact table never shuffles."""
+    from ray.data.aggregate import Min, Sum
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def min_partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["user_id"]).aggregate([("ts", "min")])
+        return out.rename_columns(["user_id", "first_ts"])
+
+    firsts = ds.map_batches(min_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("first_ts",
+                                          alias_name="first_ts"))
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["first_ts"], pa.timestamp("us"))
+        b = pa.table({"day_ts": R.floor_bucket(ts, "1d")})
+        out = b.group_by(["day_ts"]).aggregate([("day_ts", "count")])
+        return out.rename_columns(["day_ts", "n_new"])
+
+    return firsts.map_batches(day_partial, batch_format="pyarrow") \
+        .groupby("day_ts").aggregate(Sum("n_new", alias_name="n_new"))
+
+
+_NEW_USERS_SQL = """
+    WITH f AS (SELECT user_id, MIN(ts) AS mn FROM events GROUP BY user_id)
+    SELECT date_trunc('day', mn) AS day_ts, COUNT(*) AS n_new
+    FROM f GROUP BY 1"""
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document Shannon entropy of the character distribution (a
+    gibberish/boilerplate screen in the text-quality family). Whole batch
+    vectorized: one joined byte buffer, one bincount over the composite
+    (doc, byte) key — no per-document Python loop. ASCII corpus, so byte
+    == character (mirrored by the SQL's substring walk)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        n = len(texts)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=n)
+        data = np.frombuffer("".join(texts).encode(), dtype=np.uint8)
+        doc_idx = np.repeat(np.arange(n), lens)
+        cnt = np.bincount(doc_idx * 256 + data,
+                          minlength=n * 256).reshape(n, 256)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = cnt / np.maximum(lens, 1)[:, None]
+            terms = np.where(cnt > 0, p * np.log2(p, where=cnt > 0), 0.0)
+        ent = -terms.sum(axis=1)
+        return pa.table({"doc_id": b["doc_id"],
+                         "char_entropy": pa.array(r6(ent))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_CHAR_ENTROPY_SQL = """
+    WITH ch AS (
+        SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+    cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(n) AS tn FROM cnt GROUP BY 1)
+    SELECT cnt.doc_id,
+           FLOOR((-SUM((n / tn) * log2(n / tn))) * 1000000 + 0.5) / 1000000
+               AS char_entropy
+    FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2059,6 +2129,8 @@ QUERIES: dict = {
     "text_clean": (q_text_clean, _TEXT_CLEAN_SQL),
     "resample_locf": (q_resample_locf, _RESAMPLE_LOCF_SQL),
     "join_priority_flag": (q_join_priority_flag, _JOIN_PRIORITY_SQL),
+    "new_users_daily": (q_new_users_daily, _NEW_USERS_SQL),
+    "char_entropy": (q_char_entropy, _CHAR_ENTROPY_SQL),
     "media_features": (q_media_features,
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",
