@@ -90,7 +90,13 @@ def run_benchmarks() -> dict:
                  "histogram_1h", "hll_distinct_1d", "compact_retention",
                  "lttb_downsample", "counter_rate_1h", "twa_1h",
                  "hash_split", "distinct_sample_1d", "rollup_1h_pop",
-                 "ewma_per_user", "ngram_top20"):
+                 "ewma_per_user", "ngram_top20",
+                 "semijoin_top_users", "session_assign", "pivot_role_wide",
+                 "melt_lineitem", "autocorr_lag1", "cumsum_per_user",
+                 "stratified_sample", "ann_lsh", "lookup_enrich",
+                 "argmax_per_user", "grouping_sets", "text_clean",
+                 "resample_locf", "join_priority_flag", "new_users_daily",
+                 "char_entropy"):
         timed(name)
 
     value = timings[headline]

@@ -152,3 +152,21 @@ def test_resample_locf_semantics_and_partition_invariance():
     a = out.sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
     b = out2.sort_values(["user_id", "bucket_ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bench_query_list_is_a_subset_of_queries():
+    """bench.py's timed list must never drift from the registry."""
+    import ast
+    import pathlib
+    from tslib_ray.pipelines.queries import QUERIES
+    src = pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    tree = ast.parse(src.read_text())
+    names = {n.value for n in ast.walk(tree)
+             if isinstance(n, ast.Constant) and isinstance(n.value, str)}
+    benched = names & set(QUERIES)
+    missing = benched - set(QUERIES)
+    assert not missing
+    # every round-3 addition is actually benchmarked
+    for q in ("semijoin_top_users", "resample_locf", "join_priority_flag",
+              "ann_lsh", "char_entropy", "grouping_sets"):
+        assert q in benched, q
