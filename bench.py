@@ -96,7 +96,7 @@ def run_benchmarks() -> dict:
                  "stratified_sample", "ann_lsh", "lookup_enrich",
                  "argmax_per_user", "grouping_sets", "text_clean",
                  "resample_locf", "join_priority_flag", "new_users_daily",
-                 "char_entropy"):
+                 "char_entropy", "chunk_docs", "user_path"):
         timed(name)
 
     value = timings[headline]

@@ -2031,6 +2031,85 @@ _CHAR_ENTROPY_SQL = """
     FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id"""
 
 
+_CHUNK_TOKENS = 10
+
+
+def q_chunk_docs(sf_dir: str):
+    """Explode / flat_map: split each document into fixed 10-token chunks
+    and emit one row per (doc, chunk) — the fan-out a chunking pipeline
+    runs before embedding. Vectorized across the whole batch: Arrow
+    ``split_pattern`` -> list column, then per chunk-index (bounded by the
+    longest doc) one ``list_slice`` + ``binary_join`` over ALL docs at
+    once — no per-doc Python, map-only (zero shuffle)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    W = _CHUNK_TOKENS
+
+    def fn(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n_chunks = -(-lens // W)
+        out = []
+        for i in range(int(n_chunks.max()) if len(lens) else 0):
+            mask = pa.array(n_chunks > i)
+            sub_toks = pc.list_slice(toks.filter(mask) if isinstance(
+                toks, pa.ChunkedArray) else pc.filter(toks, mask),
+                start=i * W, stop=(i + 1) * W)
+            chunk = pc.binary_join(sub_toks, " ")
+            ids = pc.filter(b["doc_id"], mask)
+            out.append(pa.table({
+                "doc_id": ids,
+                "chunk_idx": pa.array(
+                    np.full(len(ids), i, dtype=np.int64)),
+                "chunk": chunk,
+            }))
+        if not out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        return pa.concat_tables(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_EXPLODE_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (SELECT doc_id,
+                 CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0) AS BIGINT) AS nc,
+                 toks FROM w)
+    SELECT doc_id,
+           unnest(range(nc)) AS chunk_idx,
+           unnest([array_to_string(
+                       toks[(i * {_CHUNK_TOKENS} + 1):((i + 1) * {_CHUNK_TOKENS})],
+                       ' ')
+                   for i in range(nc)]) AS chunk
+    FROM c"""
+
+
+def q_user_path(sf_dir: str):
+    """Reduce-to-sequence: each user's ordered event-type path (funnel
+    analysis). One hash shuffle; the per-key string join runs over ~tens of
+    elements per key (sequence building is inherently per-key — the
+    vectorized part is the sort and grouping around it)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = g.groupby("user_id", sort=False)["event_type"] \
+            .agg(">".join).reset_index()
+        return out.rename(columns={"event_type": "path"})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_USER_PATH_SQL = """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2131,6 +2210,8 @@ QUERIES: dict = {
     "join_priority_flag": (q_join_priority_flag, _JOIN_PRIORITY_SQL),
     "new_users_daily": (q_new_users_daily, _NEW_USERS_SQL),
     "char_entropy": (q_char_entropy, _CHAR_ENTROPY_SQL),
+    "chunk_docs": (q_chunk_docs, _EXPLODE_SQL),
+    "user_path": (q_user_path, _USER_PATH_SQL),
     "media_features": (q_media_features,
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",
