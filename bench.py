@@ -96,7 +96,9 @@ def run_benchmarks() -> dict:
                  "stratified_sample", "ann_lsh", "lookup_enrich",
                  "argmax_per_user", "grouping_sets", "text_clean",
                  "resample_locf", "join_priority_flag", "new_users_daily",
-                 "char_entropy", "chunk_docs", "user_path"):
+                 "char_entropy", "chunk_docs", "user_path",
+                 "trend_slope", "anomaly_zscore", "interval_count",
+                 "sliding_distinct", "repetition_score", "tfidf_top3"):
         timed(name)
 
     value = timings[headline]

@@ -1,0 +1,144 @@
+"""Round-3 batch-3 stage tests: interval join, sliding distinct,
+repetition score, TF-IDF top-k, trend slope / anomaly queries."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from tslib_ray.stages.distinct import sliding_distinct
+from tslib_ray.stages.interval import interval_count_join
+from tslib_ray.stages.text import repetition_score, tfidf_topk
+
+
+def test_interval_count_join_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    n_pts, n_rng = 2000, 120
+    pts = np.sort(rng.integers(0, 10**9, n_pts))  # ~1000 s span in us
+    lo = rng.integers(0, 10**9, n_rng)
+    span = rng.integers(0, 50_000_000, n_rng)  # <= bucket width
+    hi = lo + span
+    points = rd.from_pandas(pd.DataFrame({"ts": pts})).repartition(5)
+    ranges = rd.from_pandas(pd.DataFrame(
+        {"rid": np.arange(n_rng, dtype=np.int64), "lo": lo, "hi": hi}))
+    got = interval_count_join(points, ranges, "ts", "rid", "lo", "hi",
+                              bucket_us=50_000_000, n_parts=7).to_pandas()
+    got = got.set_index("rid")["n"]
+    for r in range(n_rng):
+        want = int(((pts >= lo[r]) & (pts < hi[r])).sum())
+        assert got.get(r, 0) == want, r
+
+
+def test_interval_count_join_degenerate_and_aligned_ranges():
+    pts = np.array([0, 10, 20, 50_000_000, 99_999_999], dtype=np.int64)
+    ranges = pd.DataFrame({
+        "rid": np.array([0, 1, 2], dtype=np.int64),
+        # empty (hi == lo), bucket-aligned exact, cross-boundary
+        "lo": np.array([10, 0, 25_000_000], dtype=np.int64),
+        "hi": np.array([10, 50_000_000, 75_000_000], dtype=np.int64)})
+    got = interval_count_join(
+        rd.from_pandas(pd.DataFrame({"ts": pts})),
+        rd.from_pandas(ranges), "ts", "rid", "lo", "hi",
+        bucket_us=50_000_000).to_pandas().set_index("rid")["n"]
+    assert got.get(0, 0) == 0
+    assert got[1] == 3  # 0, 10, 20 (50M excluded: half-open)
+    assert got[2] == 1  # 50M only
+
+
+def test_sliding_distinct_matches_pandas():
+    rng = np.random.default_rng(3)
+    n = 5000
+    ts = rng.integers(0, 4 * 3_600_000_000, n)  # 4 h of traffic
+    users = rng.integers(0, 40, n)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"ts": pd.to_datetime(ts, unit="us"),
+         "user_id": users})).repartition(6)
+    got = sliding_distinct(ds, "ts", "user_id",
+                           window_us=3_600_000_000,
+                           slide_us=900_000_000).to_pandas()
+    got["window_start"] = got["window_start"].astype("datetime64[us]")
+    got = got.set_index("window_start")["n_distinct"]
+    starts = np.unique((ts // 900_000_000)[:, None]
+                       - np.arange(4)[None, :]) * 900_000_000
+    for s in starts:
+        inside = (ts >= s) & (ts < s + 3_600_000_000)
+        want = len(np.unique(users[inside]))
+        if want:
+            assert got[pd.Timestamp(s, unit="us")] == want
+
+
+def test_repetition_score_known_docs():
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b c a b c a b c",   # repeated trigrams
+                 "one two three four",  # all distinct
+                 "x y",                 # shorter than k -> whole-doc rule
+                 "w w w w w"],          # single repeated trigram
+    }))
+    out = repetition_score(docs, k=3).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_shingles"] == 7
+    assert out.loc[0, "n_distinct"] == 3
+    assert abs(out.loc[0, "dup_ratio"] - (1 - 3 / 7)) < 1e-6
+    assert out.loc[1, "dup_ratio"] == 0.0
+    assert out.loc[2, "n_shingles"] == 1 and out.loc[2, "n_distinct"] == 1
+    assert out.loc[3, "n_shingles"] == 3 and out.loc[3, "n_distinct"] == 1
+
+
+def test_tfidf_topk_ranking_and_scores():
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["apple apple banana common",
+                 "banana banana common",
+                 "cherry common common"],
+    }))
+    out = tfidf_topk(docs, k=2).to_pandas()
+    top1 = out[out["rank"] == 1].set_index("doc_id")
+    # doc 1: apple tf=2 df=1; doc 2: banana tf=2 df=2; doc 3: common tf=2 df=3
+    assert top1.loc[1, "term"] == "apple"
+    assert top1.loc[2, "term"] == "banana"
+    assert top1.loc[3, "term"] == "common"
+    want = 2 * np.log(3 / 1)
+    got = float(top1.loc[1, "tfidf"])
+    assert abs(got - want) < 1e-5
+    # rank 2 of doc 1: banana (tf=1) beats common (tf=1) on df 2 < 3
+    r2 = out[(out["doc_id"] == 1) & (out["rank"] == 2)].iloc[0]
+    assert r2["term"] == "banana"
+
+
+def test_trend_slope_recovers_planted_line(sf_small):
+    # on a synthetic frame with an exact line, slope/intercept are exact
+    from tslib_ray.pipelines.queries import QUERIES
+    import duckdb
+    got = QUERIES["trend_slope"][0](sf_small)
+    got = got.to_pandas().sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_small}/events.parquet')")
+    want = con.sql(QUERIES["trend_slope"][1]).df() \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, atol=1e-9, rtol=0)
+
+
+def test_anomaly_zscore_flags_planted_outlier():
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.repeat(np.arange(4, dtype=np.int64), n // 4),
+        "value": rng.standard_normal(n) * 0.1 + 5.0,
+    })
+    df.loc[10, "value"] = 50.0  # unmistakable outlier for user 0
+    import ray
+    from tslib_ray.pipelines import queries as Q
+    ds = rd.from_pandas(df).repartition(4)
+
+    # reuse the query body via a local re-bind of _events
+    import tslib_ray.pipelines.queries as qq
+    orig = qq._events
+    try:
+        qq._events = lambda sf, columns=None: ds.select_columns(columns)
+        out = qq.q_anomaly_zscore("ignored").to_pandas()
+    finally:
+        qq._events = orig
+    assert 10 in set(out["event_id"])
+    assert (out["z"].abs() > 3).all()

@@ -2111,6 +2111,239 @@ _USER_PATH_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# per-key regression, anomaly screen, interval join, sliding distinct
+# ---------------------------------------------------------------------------
+
+def q_trend_slope(sf_dir: str):
+    """Per-user OLS trend of value vs time (slope per HOUR + intercept) via
+    the closed-form sums — the drift screen run before detrending a series
+    for the SVD model (reference trend generators,
+    ``/root/reference/src/synthcontrol/... generateTrend``). Same
+    one-shuffle lexsort+reduceat shape as q_autocorr_lag1; the oracle SQL
+    spells out the identical sums (not regr_slope) so both sides share the
+    formula."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        # hours since a FIXED origin (2024-01-01): slope magnitudes survive
+        # 6dp rounding AND n*sxx - sx^2 avoids the catastrophic cancellation
+        # raw epoch hours (~4.7e5) would cause — without centering, engine
+        # and SQL disagree at 1e-7 relative from accumulation order alone
+        x = (g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+             - 1_704_067_200_000_000) / 3.6e9
+        y = g["value"].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": np.empty(0, dtype=np.int64),
+                                 "n": np.empty(0, dtype=np.int64),
+                                 "slope": np.empty(0),
+                                 "intercept": np.empty(0)})
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        n = np.diff(np.r_[starts, len(u)]).astype(np.float64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        den = n * sxx - sx * sx
+        keep = (n >= 2) & (den > 0)
+        slope = np.full(len(n), np.nan)
+        np.divide(n * sxy - sx * sy, den, out=slope, where=keep)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame({"user_id": u[starts][keep],
+                             "n": n[keep].astype(np.int64),
+                             "slope": r6(slope[keep]),
+                             "intercept": r6(intercept[keep])})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_TREND_SQL = """
+    WITH p AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE)
+                   / 3600000000.0 AS x,
+               value AS y
+        FROM events),
+    q AS (
+        SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM p GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * 1000000 + 0.5) / 1000000 AS slope,
+           FLOOR(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n) * 1000000 + 0.5) / 1000000 AS intercept
+    FROM q WHERE n >= 2 AND (n * sxx - sx * sx) > 0"""
+
+
+def q_anomaly_zscore(sf_dir: str):
+    """Per-user z-score outlier screen: events whose value sits more than 3
+    population-sigmas from the user's own mean — the alerting pass a tier
+    engine runs over fresh points. One hash shuffle co-locates each user;
+    moments and flags are computed in the same vectorized partition pass
+    (no second join pass needed when stats and points share the key)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": np.empty(0, dtype=np.int64),
+                                 "user_id": np.empty(0, dtype=np.int64),
+                                 "value": np.empty(0), "z": np.empty(0)})
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        n = np.diff(np.r_[starts, len(u)]).astype(np.float64)
+        sx = np.add.reduceat(v, starts)
+        sxx = np.add.reduceat(v * v, starts)
+        mean = sx / n
+        var = (sxx - sx * sx / n) / n
+        std = np.sqrt(np.maximum(var, 0.0))
+        seg = np.repeat(np.arange(len(n)), n.astype(np.int64))
+        ok = std[seg] > 0
+        z = np.zeros(len(v))
+        np.divide(v - mean[seg], std[seg], out=z, where=ok)
+        hit = ok & (np.abs(z) > 3.0)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[hit],
+                             "user_id": u[hit], "value": v[hit],
+                             "z": r6(z[hit])})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_ANOMALY_SQL = """
+    WITH s AS (
+        SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(value) AS sx, SUM(value * value) AS sxx
+        FROM events GROUP BY user_id),
+    z AS (
+        SELECT e.event_id, e.user_id, e.value,
+               (e.value - s.sx / s.n)
+               / sqrt((s.sxx - s.sx * s.sx / s.n) / s.n) AS z
+        FROM events e JOIN s USING (user_id)
+        WHERE (s.sxx - s.sx * s.sx / s.n) / s.n > 0)
+    SELECT event_id, user_id, value,
+           FLOOR(z * 1000000 + 0.5) / 1000000 AS z
+    FROM z WHERE abs(z) > 3.0"""
+
+
+def q_interval_count(sf_dir: str):
+    """Non-equi interval join: for every error event, how many events (any
+    user, any type) landed in the 60 s window just before it —
+    ``(event_id, n)``. Bucket-replicated co-partition plan
+    (stages/interval.py): ranges replicate to <=2 one-minute buckets, one
+    narrow shuffle, vectorized searchsorted per partition, tiny replica
+    merge. Integer-exact (no float compare in the join)."""
+    from ..stages.interval import interval_count_join
+    ev = _events(sf_dir, ["event_id", "ts", "event_type"])
+    points = ev.select_columns(["ts"])
+
+    def mk_ranges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "error"))
+        ts = b["ts"].cast(pa.int64())
+        return pa.table({
+            "event_id": b["event_id"],
+            "lo": pc.subtract(ts, pa.scalar(60_000_000, pa.int64())),
+            "hi": ts})
+
+    ranges = ev.map_batches(mk_ranges, batch_format="pyarrow")
+    return interval_count_join(points, ranges, point_ts="ts",
+                               range_id="event_id", lo_col="lo",
+                               hi_col="hi", bucket_us=60_000_000)
+
+
+_INTERVAL_SQL = """
+    SELECT r.event_id, COUNT(p.ts) AS n
+    FROM events r LEFT JOIN events p
+      ON p.ts >= r.ts - INTERVAL 60 SECOND AND p.ts < r.ts
+    WHERE r.event_type = 'error'
+    GROUP BY r.event_id"""
+
+
+def q_sliding_distinct(sf_dir: str):
+    """Distinct active users per sliding 1 h window advancing every 15 min
+    (stages/distinct.py::sliding_distinct) — the exact-dashboard twin of
+    the HLL path: 4x fan-out with in-batch pair dedup, one hash shuffle,
+    factorize-exact counting."""
+    from ..stages.distinct import sliding_distinct
+    ds = _events(sf_dir, ["ts", "user_id"])
+    return sliding_distinct(ds, "ts", "user_id",
+                            window_us=3_600_000_000,
+                            slide_us=900_000_000)
+
+
+_SLIDING_SQL = """
+    SELECT to_timestamp((epoch_us(ts) // 900000000 - j)
+                        * 900000000 // 1000000)::TIMESTAMP AS window_start,
+           COUNT(DISTINCT user_id) AS n_distinct
+    FROM events, generate_series(0, 3) AS t(j)
+    GROUP BY 1"""
+
+
+def q_repetition_score(sf_dir: str):
+    """Within-doc duplicate 3-gram fraction (stages/text.py) — the Gopher
+    repetition quality filter. Map-only; shares the rolling-shingle kernel
+    (and its <k-token whole-doc convention + 64-bit collision tolerance)
+    with the MinHash oracle."""
+    from ..stages.text import repetition_score
+    return repetition_score(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+def _repetition_sql(k: int = 3) -> str:
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < {k} THEN 1
+                    ELSE len(t) - {k} + 1 END AS n_shingles,
+               CASE WHEN len(t) < {k} THEN 1
+                    ELSE len(list_distinct([{shingle}
+                         for i in range(1, len(t) - {k} + 2)])) END
+                   AS n_distinct
+        FROM d)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_shingles)
+                 * 1000000 + 0.5) / 1000000 AS dup_ratio
+    FROM s"""
+
+
+def q_tfidf_top3(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms (stages/text.py::tfidf_topk): integer
+    ranking (tf DESC, df ASC, term ASC) + rounded float score payload. DF
+    exchange is vocab-sized; df map broadcast once via ray.put."""
+    from ..stages.text import tfidf_topk
+    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+_TFIDF_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM tok WHERE term <> '' GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC,
+                                           tf.term ASC) AS rank
+        FROM tf JOIN df USING (term))
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+           FLOOR(tf * ln(nd.n / df) * 1000000 + 0.5) / 1000000 AS tfidf
+    FROM ranked, nd WHERE rank <= 3"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2212,6 +2445,12 @@ QUERIES: dict = {
     "char_entropy": (q_char_entropy, _CHAR_ENTROPY_SQL),
     "chunk_docs": (q_chunk_docs, _EXPLODE_SQL),
     "user_path": (q_user_path, _USER_PATH_SQL),
+    "trend_slope": (q_trend_slope, _TREND_SQL),
+    "anomaly_zscore": (q_anomaly_zscore, _ANOMALY_SQL),
+    "interval_count": (q_interval_count, _INTERVAL_SQL),
+    "sliding_distinct": (q_sliding_distinct, _SLIDING_SQL),
+    "repetition_score": (q_repetition_score, _repetition_sql()),
+    "tfidf_top3": (q_tfidf_top3, _TFIDF_SQL),
     "media_features": (q_media_features,
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",

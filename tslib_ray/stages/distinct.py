@@ -159,3 +159,66 @@ def hll_estimate(sketch: "rd.Dataset", key: str, p: int = 10,
     parted = _add_part(sketch, key, n_parts)
     return parted.groupby("_part").map_groups(part_fn,
                                               batch_format="pyarrow")
+
+
+def sliding_distinct(ds: "rd.Dataset", ts_col: str, item_col: str,
+                     window_us: int, slide_us: int,
+                     n_parts: int = 64) -> "rd.Dataset":
+    """EXACT distinct ``item_col`` count per sliding window of length
+    ``window_us`` advancing every ``slide_us`` (``window_us`` must be a
+    multiple of ``slide_us``): ``(window_start, n_distinct)`` for every
+    window with at least one event.
+
+    Ray-Data plan: map-side fan-out of each row to its ``window/slide``
+    overlapping windows with an in-batch ``(window, item)`` dedup (bounds
+    the shuffle to unique pairs per block), ONE hash shuffle on
+    ``window_start``, then a per-partition lexsort + boundary-count. The
+    fan-out factor is the overlap count (4 for 1h/15m) — the standard
+    cost of exact sliding distinct; the HLL path (:func:`hll_tier`) is the
+    sketched alternative when the fan-out or pair volume is too hot.
+    """
+    assert window_us % slide_us == 0
+    k = window_us // slide_us
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        # normalize to epoch-us regardless of input unit (ns from pandas)
+        ts = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        base = (ts // slide_us) * slide_us
+        starts = (base[None, :] -
+                  (np.arange(k, dtype=np.int64) * slide_us)[:, None])
+        items = b[item_col].to_numpy(zero_copy_only=False)
+        win = starts.reshape(-1)
+        item_rep = np.tile(items, k)
+        # in-batch pair dedup before the shuffle
+        uniq = pa.table({"window_start": pa.array(win),
+                         item_col: pa.array(item_rep)}) \
+            .group_by(["window_start", item_col]).aggregate([])
+        return uniq
+
+    pairs = ds.map_batches(fan_out, batch_format="pyarrow")
+
+    def count_part(t: pa.Table) -> pa.Table:
+        win = t["window_start"].to_numpy()
+        items = t[item_col].to_numpy(zero_copy_only=False)
+        if win.size == 0:
+            return pa.table({"window_start": pa.array([], pa.timestamp("us")),
+                             "n_distinct": pa.array([], pa.int64())})
+        # exact identity (factorize, not a hash): a 64-bit hash collision
+        # would silently undercount vs the SQL oracle's COUNT(DISTINCT)
+        ih = items if items.dtype.kind in "iu" else \
+            pd.factorize(items)[0].astype(np.int64)
+        order = np.lexsort((ih, win))
+        w, h = win[order], ih[order]
+        first = np.concatenate(([True], (w[1:] != w[:-1]) | (h[1:] != h[:-1])))
+        w_u = w[first]
+        wstarts = np.flatnonzero(np.concatenate(([True],
+                                                 w_u[1:] != w_u[:-1])))
+        counts = np.diff(np.append(wstarts, w_u.size))
+        return pa.table({
+            "window_start": pa.array(w_u[wstarts], type=pa.timestamp("us")),
+            "n_distinct": pa.array(counts.astype(np.int64))})
+
+    parted = _add_part(pairs, "window_start", n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda t: count_part(t.drop_columns(["_part"])),
+        batch_format="pyarrow")

@@ -1,0 +1,130 @@
+"""Distributed interval (range) join: count points falling inside
+half-open time ranges, where ranges and points come from (possibly) the
+same large table and share NO equi-key.
+
+Ray-Data-first plan (the classic bucket-replication design):
+
+1. pick a bucket width >= the maximum range span, so every range overlaps
+   at most 2 buckets;
+2. replicate each range row to each bucket it overlaps (bounded 2x
+   fan-out), clipping nothing — the range keeps its exact [lo, hi) bounds;
+3. key points by their single bucket;
+4. ONE hash shuffle co-partitions both sides by bucket; inside each
+   partition every (range, bucket) replica counts its points with two
+   vectorized ``np.searchsorted`` calls over the partition's points sorted
+   by a composite (bucket, within-bucket-offset) int64 key;
+5. a final tiny ``groupby(range_id).sum`` adds the <=2 replica partials.
+
+Scale notes: the shuffle moves ``points + 2 x ranges`` narrow rows once;
+no side is ever materialized on the driver; skew is bounded by bucket
+population (time-bucketed event streams are near-uniform; a hot bucket can
+be split by salting the point side and replicating range replicas per
+salt). The composite key packs (bucket_idx << 32) | offset_us, which is
+exact while ``bucket_width_us < 2**32`` (~71 min) — asserted.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data as rd
+
+from .rollup import _add_part
+
+
+def _epoch_us(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Epoch-us int64 from either a timestamp (any unit) or an int column."""
+    if pa.types.is_temporal(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy()
+
+
+def _composite(bucket_idx: np.ndarray, offset_us: np.ndarray) -> np.ndarray:
+    return (bucket_idx.astype(np.int64) << np.int64(32)) | \
+        offset_us.astype(np.int64)
+
+
+def interval_count_join(points: "rd.Dataset", ranges: "rd.Dataset",
+                        point_ts: str, range_id: str, lo_col: str,
+                        hi_col: str, bucket_us: int, n_parts: int = 64,
+                        out_count: str = "n") -> "rd.Dataset":
+    """Per-range counts ``(range_id, n)`` of points with
+    ``lo <= ts < hi``. Every range must satisfy ``hi - lo <= bucket_us``
+    (checked per batch); ``bucket_us < 2**32``.
+
+    Both inputs are union-tagged so the co-partition is ONE shuffle over
+    the concatenated narrow stream (the same trick DuckDB's IEJoin and
+    classic MapReduce range joins use; public design, e.g. Chawda et al.,
+    "Processing Interval Joins on Map-Reduce", EDBT'14).
+    """
+    assert 0 < bucket_us < 2 ** 32
+    import ray.data as rd  # noqa: F401
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        ts = _epoch_us(b[point_ts])
+        bucket = ts // bucket_us
+        return pa.table({
+            "_bucket": pa.array(bucket),
+            "_key": pa.array(_composite(bucket, ts - bucket * bucket_us)),
+            "_rid": pa.array(np.full(len(b), -1, dtype=np.int64)),
+            "_lo": pa.array(np.zeros(len(b), dtype=np.int64)),
+            "_hi": pa.array(np.zeros(len(b), dtype=np.int64)),
+        })
+
+    def tag_ranges(b: pa.Table) -> pa.Table:
+        lo = _epoch_us(b[lo_col])
+        hi = _epoch_us(b[hi_col])
+        if np.any(hi - lo > bucket_us):
+            raise ValueError("range span exceeds bucket width")
+        rid = b[range_id].cast(pa.int64()).to_numpy()
+        b_lo, b_hi = lo // bucket_us, np.maximum(hi - 1, lo) // bucket_us
+        # replica per overlapped bucket (1 or 2 by the span precondition)
+        two = b_hi > b_lo
+        bucket = np.concatenate([b_lo, b_hi[two]])
+        rid_r = np.concatenate([rid, rid[two]])
+        lo_r = np.concatenate([lo, lo[two]])
+        hi_r = np.concatenate([hi, hi[two]])
+        return pa.table({
+            "_bucket": pa.array(bucket),
+            "_key": pa.array(np.zeros(bucket.size, dtype=np.int64)),
+            "_rid": pa.array(rid_r),
+            "_lo": pa.array(lo_r),
+            "_hi": pa.array(hi_r),
+        })
+
+    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
+        ranges.map_batches(tag_ranges, batch_format="pyarrow"))
+
+    def count_part(t: pa.Table) -> pa.Table:
+        rid = t["_rid"].to_numpy()
+        is_range = rid >= 0
+        if not is_range.any():
+            return pa.table({range_id: pa.array([], type=pa.int64()),
+                             out_count: pa.array([], type=pa.int64())})
+        pkey = np.sort(t["_key"].to_numpy()[~is_range])
+        bucket = t["_bucket"].to_numpy()[is_range]
+        lo = t["_lo"].to_numpy()[is_range]
+        hi = t["_hi"].to_numpy()[is_range]
+        # clip each replica's bounds to ITS bucket so the two replicas of a
+        # straddling range partition the interval exactly
+        b0 = bucket * bucket_us
+        lo_c = np.maximum(lo, b0) - b0
+        hi_c = np.minimum(hi, b0 + bucket_us) - b0
+        n = (np.searchsorted(pkey, _composite(bucket, hi_c), side="left")
+             - np.searchsorted(pkey, _composite(bucket, lo_c), side="left"))
+        n = np.maximum(n, 0)  # degenerate hi <= lo ranges count zero
+        return pa.table({range_id: pa.array(rid[is_range]),
+                         out_count: pa.array(n.astype(np.int64))})
+
+    parted = _add_part(tagged, "_bucket", n_parts)
+    partials = parted.groupby("_part").map_groups(
+        lambda t: count_part(t.drop_columns(["_part"])),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    merged = partials.groupby(range_id).aggregate(
+        Sum(out_count, alias_name=out_count))
+    return merged

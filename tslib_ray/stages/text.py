@@ -370,3 +370,121 @@ def ngram_topk(docs: "rd.Dataset", text_col: str = "text", n: int = 3,
                                                batch_format="pyarrow")
     return local.groupby("_g").map_groups(final_topk,
                                           batch_format="pyarrow")
+
+
+def repetition_score(docs: "rd.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 3) -> "rd.Dataset":
+    """Within-document repetition: per doc the total and distinct k-token
+    shingle counts and ``dup_ratio = 1 - distinct/total`` — the
+    duplicate-n-gram quality filter of large-corpus pipelines (Rae et al.,
+    Gopher, arXiv:2112.11446, app. A1 uses duplicate 2-4-gram fractions).
+
+    Map-only (no shuffle): reuses the batch-vectorized rolling shingle
+    kernel (:func:`~tslib_ray.stages.dedup._rolling_shingles`); distinct
+    counting is one lexsort + boundary pass over (doc, shingle) for the
+    whole batch. Docs shorter than ``k`` tokens follow the whole-doc-hash
+    convention (one shingle, one distinct, ratio 0) so the SQL mirror can
+    COALESCE the same way. 64-bit shingle-hash collisions would undercount
+    ``n_distinct`` (probability ~n**2/2**65 per doc; the same documented
+    tolerance as the MinHash oracle)."""
+    from .dedup import _rolling_shingles
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pandas()
+        sh, starts, valid, lens = _rolling_shingles(texts, k)
+        n_docs = lens.size
+        if sh.size == 0:
+            total = np.zeros(n_docs, dtype=np.int64)
+            distinct = np.zeros(n_docs, dtype=np.int64)
+        else:
+            doc_of = np.repeat(np.arange(n_docs), lens)[valid]
+            shv = sh[valid]
+            total = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+            order = np.lexsort((shv, doc_of))
+            d, s = doc_of[order], shv[order]
+            first = np.concatenate(([True],
+                                    (d[1:] != d[:-1]) | (s[1:] != s[:-1])))
+            distinct = np.bincount(d[first], minlength=n_docs) \
+                .astype(np.int64)
+        ratio = np.zeros(n_docs)
+        nz = total > 0
+        ratio[nz] = 1.0 - distinct[nz] / total[nz]
+        ratio = np.floor(ratio * 1e6 + 0.5) / 1e6
+        return pa.table({id_col: b[id_col],
+                         "n_shingles": pa.array(total),
+                         "n_distinct": pa.array(distinct),
+                         "dup_ratio": pa.array(ratio)})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def tfidf_topk(docs: "rd.Dataset", text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3,
+               n_parts: int = 64) -> "rd.Dataset":
+    """Per-document top-``k`` terms: ``(doc_id, rank, term, tf, df,
+    tfidf)``, ranked INTEGER-EXACTLY by ``(tf DESC, df ASC, term ASC)``
+    (most frequent, rarest-in-corpus first) with the float
+    ``tf * ln(N/df)`` score emitted as a rounded payload — ranking on the
+    integers keeps engine and SQL ordering bit-identical, immune to libm
+    ``ln`` last-ulp differences.
+
+    Plan: map-side per-doc term counts (tokenize = lowercase split on
+    non-alphanumeric, the SQL-mirrorable ``string_split_regex`` contract);
+    document frequencies via ONE small hash shuffle over the unique
+    (term, doc) pairs' term column; the df table (vocab-sized — sublinear
+    in corpus size by Heaps' law, and cappable with a min_df cut at scale)
+    is broadcast via ``ray.put`` into the final per-doc top-k map. Two
+    passes over the corpus, one vocab-sized exchange, no driver loop over
+    docs."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def term_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]),
+                                      "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(lens.size), lens)
+        terms = flat.to_numpy(zero_copy_only=False)
+        keep = terms != ""
+        doc_of, terms = doc_of[keep], terms[keep]
+        codes, uniq = pd.factorize(terms)
+        pair = doc_of.astype(np.int64) * np.int64(uniq.size) + codes
+        pair_u, tf = np.unique(pair, return_counts=True)
+        return pa.table({
+            id_col: pc.take(b[id_col], pa.array(pair_u // uniq.size)),
+            "term": pa.array(uniq.take((pair_u % uniq.size))),
+            "tf": pa.array(tf.astype(np.int64))})
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        term_counts, batch_format="pyarrow")
+    # document frequency: each (doc, term) pair is unique by construction,
+    # so df = COUNT per term — a vocab-sized aggregate
+    df_tbl = pairs.groupby("term").count()
+    df_ref = ray.put(df_tbl.to_pandas().set_index("term")["count()"]
+                     .to_dict())
+    n_docs = docs.count()
+
+    def topk_part(t: pa.Table, df_map) -> pa.Table:
+        g = t.to_pandas()
+        g["df"] = g["term"].map(df_map).astype(np.int64)
+        g = g.sort_values([id_col, "tf", "df", "term"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        rank = g.groupby(id_col, sort=False).cumcount() + 1
+        g = g[rank <= k]
+        g["rank"] = rank[rank <= k].astype(np.int64)
+        score = g["tf"].to_numpy() * np.log(n_docs / g["df"].to_numpy())
+        g["tfidf"] = np.floor(score * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pandas(g[[id_col, "rank", "term", "tf", "df",
+                                       "tfidf"]], preserve_index=False)
+
+    from .rollup import _add_part
+    parted = _add_part(pairs, id_col, n_parts)
+
+    def run_part(t: pa.Table) -> pa.Table:
+        return topk_part(t.drop_columns(["_part"]), ray.get(df_ref))
+
+    return parted.groupby("_part").map_groups(run_part,
+                                              batch_format="pyarrow")
