@@ -98,7 +98,8 @@ def run_benchmarks() -> dict:
                  "resample_locf", "join_priority_flag", "new_users_daily",
                  "char_entropy", "chunk_docs", "user_path",
                  "trend_slope", "anomaly_zscore", "interval_count",
-                 "sliding_distinct", "repetition_score", "tfidf_top3"):
+                 "sliding_distinct", "repetition_score", "tfidf_top3",
+                 "dedup_clusters", "funnel_counts"):
         timed(name)
 
     value = timings[headline]

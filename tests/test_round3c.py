@@ -142,3 +142,73 @@ def test_anomaly_zscore_flags_planted_outlier():
         qq._events = orig
     assert 10 in set(out["event_id"])
     assert (out["z"].abs() > 3).all()
+
+
+def test_connected_components_chain_and_islands():
+    from tslib_ray.stages.graph import connected_components
+    edges = pd.DataFrame({"src": np.array([1, 2, 5], dtype=np.int64),
+                          "dst": np.array([2, 3, 6], dtype=np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(8, dtype=np.int64)})
+    out = connected_components(rd.from_pandas(edges).repartition(2),
+                               rd.from_pandas(nodes).repartition(3),
+                               n_parts=4).to_pandas()
+    lab = out.set_index("node")["label"]
+    # chain 1-2-3 collapses transitively; 5-6 pairs; the rest are singletons
+    assert lab[1] == lab[2] == lab[3] == 1
+    assert lab[5] == lab[6] == 5
+    for iso in (0, 4, 7):
+        assert lab[iso] == iso
+    assert len(out) == 8
+
+
+def test_connected_components_random_vs_networkx_free_bruteforce():
+    rng = np.random.default_rng(13)
+    n, m = 300, 250
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    edges = pd.DataFrame({"src": src.astype(np.int64),
+                          "dst": dst.astype(np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64)})
+    from tslib_ray.stages.graph import connected_components
+    got = connected_components(rd.from_pandas(edges).repartition(4),
+                               rd.from_pandas(nodes),
+                               n_parts=5).to_pandas() \
+        .set_index("node")["label"]
+    # union-find reference
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in zip(src, dst):
+        parent[find(a)] = find(b)
+    roots = np.array([find(i) for i in range(n)])
+    # min node id per component
+    want = pd.Series(np.arange(n)).groupby(roots).transform("min").to_numpy()
+    assert (got.sort_index().to_numpy() == want).all()
+
+
+def test_funnel_counts_hand_case():
+    import tslib_ray.pipelines.queries as qq
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2, 2, 3, 3, 3], dtype=np.int64),
+        "ts": pd.to_datetime(
+            [10, 20, 30, 40, 35, 50, 45, 60], unit="s"),
+        "event_type": ["view", "click", "purchase",   # u1 full funnel
+                       "view", "click",               # u2 click BEFORE view
+                       "view", "purchase", "click"],  # u3 stops at click
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    orig = qq._events
+    try:
+        qq._events = lambda sf, columns=None: ds.select_columns(columns)
+        out = qq.q_funnel_counts("ignored").to_pandas() \
+            .set_index("stage")["n_users"]
+    finally:
+        qq._events = orig
+    assert out["view"] == 3
+    assert out["click"] == 2   # u1 and u3 (u2's click precedes its view)
+    assert out["purchase"] == 1  # u1 only (u3's purchase precedes click)

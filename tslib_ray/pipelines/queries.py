@@ -2343,6 +2343,104 @@ _TFIDF_SQL = """
     FROM ranked, nd WHERE rank <= 3"""
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: verified LSH pairs -> distributed
+    connected components (stages/graph.py, hash-min label propagation) ->
+    ``(doc_id, cluster_root)`` for every doc, root = smallest id in the
+    component. The transitive upgrade of minhash_dedup's pair-local
+    ``min(cand)`` rule — a->b->c chains collapse to one cluster even when
+    a and c were never a candidate pair. ``max_mates`` is raised so the
+    LSH candidate graph keeps every within-bucket edge (the oracle's edge
+    set is uncapped all-pairs)."""
+    from ..stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+    from ..stages.graph import connected_components
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, max_mates=64)
+    edges = verify_pairs_jaccard(docs, pairs, threshold=0.8,
+                                 return_edges=True)
+    labels = connected_components(edges, docs.select_columns(["doc_id"]),
+                                  src="doc_id", dst="cand_id",
+                                  node_col="doc_id")
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_root"]),
+        batch_format="pyarrow")
+
+
+def _dedup_clusters_sql(threshold: float = 0.8, k: int = 3) -> str:
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    WITH RECURSIVE s AS (SELECT doc_id,
+            CASE WHEN len(t) < {k} THEN [text]
+                 ELSE list_distinct([{shingle}
+                     for i in generate_series(1, len(t) - {k - 1})])
+            END AS sh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+              FROM documents)),
+    e AS (SELECT a.doc_id AS u, b.doc_id AS v
+          FROM s a JOIN s b ON b.doc_id < a.doc_id
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)) >= {threshold}),
+    ue AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    walk(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT ue.v, walk.r FROM walk JOIN ue ON ue.u = walk.node)
+    SELECT node AS doc_id, MIN(r) AS cluster_root
+    FROM walk GROUP BY node"""
+
+
+_FUNNEL_STAGES = [("view", "view"), ("click", "click"),
+                  ("purchase", "purchase")]
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase: users reaching
+    each stage (strictly later ts than the previous stage's FIRST hit —
+    the product-analytics funnel over the event stream). One hash shuffle
+    co-locates each user; stage thresholds are vectorized grouped mins, no
+    per-user loop."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u, inv = np.unique(g["user_id"].to_numpy(), return_inverse=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        n_u = len(u)
+        INF = np.iinfo(np.int64).max
+        prev = np.full(n_u, -1, dtype=np.int64)  # stage-0 threshold
+        counts = []
+        for _name, etype in _FUNNEL_STAGES:
+            cur = np.full(n_u, INF)
+            m = (et == etype) & (ts > prev[inv]) & (prev[inv] < INF)
+            np.minimum.at(cur, inv[m], ts[m])
+            counts.append(int((cur < INF).sum()))
+            prev = cur
+        return pd.DataFrame({
+            "stage": [s for s, _ in _FUNNEL_STAGES],
+            "n_users": np.array(counts, dtype=np.int64)})
+
+    parted = R._add_part(ds, "user_id", 64)
+    per_part = parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+    from ray.data.aggregate import Sum
+    return per_part.groupby("stage").aggregate(
+        Sum("n_users", alias_name="n_users"))
+
+
+_FUNNEL_SQL = """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1)
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM t1
+    UNION ALL SELECT 'click', COUNT(*) FROM t2
+    UNION ALL SELECT 'purchase', COUNT(*) FROM t3"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2445,6 +2543,8 @@ QUERIES: dict = {
     "char_entropy": (q_char_entropy, _CHAR_ENTROPY_SQL),
     "chunk_docs": (q_chunk_docs, _EXPLODE_SQL),
     "user_path": (q_user_path, _USER_PATH_SQL),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
+    "funnel_counts": (q_funnel_counts, _FUNNEL_SQL),
     "trend_slope": (q_trend_slope, _TREND_SQL),
     "anomaly_zscore": (q_anomaly_zscore, _ANOMALY_SQL),
     "interval_count": (q_interval_count, _INTERVAL_SQL),

@@ -403,12 +403,15 @@ def minhash_lsh_pairs(docs: "rd.Dataset", num_perm: int = 64,
 def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
                          threshold: float, shingle_k: int = 3,
                          id_col: str = "doc_id", text_col: str = "text",
-                         num_partitions: int = 8) -> "rd.Dataset":
+                         num_partitions: int = 8,
+                         return_edges: bool = False) -> "rd.Dataset":
     """Distributed exact-Jaccard verification of candidate pairs: texts are
     joined to the pair table by id (two hash joins — nothing lands on the
     driver, VERDICT r01 item 1), then each partition verifies its pairs with
     the vectorized shingle machinery. Returns distinct ``(doc_id)`` rows of
-    docs with a verified duplicate of smaller id."""
+    docs with a verified duplicate of smaller id — or, with
+    ``return_edges``, the verified ``(doc_id, cand_id)`` pairs themselves
+    (the edge list a connected-components clustering consumes)."""
     texts = docs.select_columns([id_col, text_col])
     # adaptive semi-filter: the docs side of both joins only needs the ids
     # that appear in some pair. When the candidate set is small enough to
@@ -465,7 +468,11 @@ def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
         union = la + lb - inter
         jac = inter / np.maximum(union, 1)
         keep = jac >= threshold
-        out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep]})
+        if return_edges:
+            out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep],
+                                "cand_id": b["cand_id"].to_numpy()[keep]})
+        else:
+            out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep]})
         return out.drop_duplicates()
 
     dropped = j2.map_batches(verify, batch_format="pandas")
