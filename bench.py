@@ -99,7 +99,8 @@ def run_benchmarks() -> dict:
                  "char_entropy", "chunk_docs", "user_path",
                  "trend_slope", "anomaly_zscore", "interval_count",
                  "sliding_distinct", "repetition_score", "tfidf_top3",
-                 "dedup_clusters", "funnel_counts"):
+                 "dedup_clusters", "funnel_counts", "gap_quantiles",
+                 "embedding_centroids"):
         timed(name)
 
     value = timings[headline]

@@ -2441,6 +2441,119 @@ _FUNNEL_SQL = """
     UNION ALL SELECT 'purchase', COUNT(*) FROM t3"""
 
 
+def q_gap_quantiles(sf_dir: str):
+    """Per-user inter-arrival-time quantiles (p50/p95 of the gap between
+    consecutive events, seconds) — the burstiness profile a capacity
+    planner reads off the event stream. One hash shuffle; gaps via masked
+    diff; per-user quantiles via a second in-partition lexsort + the same
+    linear interpolation quantile_cont uses, vectorized across all users
+    (no per-user loop)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame({"user_id": np.empty(0, dtype=np.int64),
+                                 "n_gaps": np.empty(0, dtype=np.int64),
+                                 "p50_s": np.empty(0),
+                                 "p95_s": np.empty(0)})
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] / 1e6
+        uu = u[1:][same]
+        if uu.size == 0:
+            return pd.DataFrame({"user_id": np.empty(0, dtype=np.int64),
+                                 "n_gaps": np.empty(0, dtype=np.int64),
+                                 "p50_s": np.empty(0),
+                                 "p95_s": np.empty(0)})
+        order = np.lexsort((gaps, uu))
+        uu, gaps = uu[order], gaps[order]
+        starts = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]])
+        n = np.diff(np.r_[starts, uu.size]).astype(np.int64)
+
+        def q(p):
+            pos = (n - 1) * p
+            lo = pos.astype(np.int64)
+            frac = pos - lo
+            i = starts + lo
+            hi = np.minimum(i + 1, starts + n - 1)
+            return gaps[i] * (1 - frac) + gaps[hi] * frac
+
+        return pd.DataFrame({"user_id": uu[starts],
+                             "n_gaps": n,
+                             "p50_s": r6(q(0.5)),
+                             "p95_s": r6(q(0.95))})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_GAP_QUANTILES_SQL = """
+    WITH d AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS DOUBLE) / 1000000.0 AS gap
+        FROM events)
+    SELECT user_id, COUNT(gap) AS n_gaps,
+           FLOOR(quantile_cont(gap, 0.5) * 1000000 + 0.5) / 1000000 AS p50_s,
+           FLOOR(quantile_cont(gap, 0.95) * 1000000 + 0.5) / 1000000 AS p95_s
+    FROM d GROUP BY user_id HAVING COUNT(gap) > 0"""
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (class centroids, LONG ``(label, dim,
+    centroid)`` rows) — the training-data prep step before IVF seeding or
+    per-class diagnostics. Map-side partial (sum, n) per (label, dim) keeps
+    the exchange at labels x dims rows regardless of corpus size; merge is
+    one tiny groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..stages.ann import _to_matrix
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _to_matrix(b["embedding"])  # zero-copy flatten, no pylist
+        codes, uniq = pd.factorize(lab)
+        d = emb.shape[1]
+        sums = np.zeros((uniq.size, d))
+        np.add.at(sums, codes, emb)
+        n = np.bincount(codes, minlength=uniq.size).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    uniq.size)),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(n, d)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    merged = partials.groupby(["label", "dim"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        cent = _r6_arrow(pc.divide(b["s"], pc.cast(b["n"], pa.float64())))
+        return pa.table({"label": b["label"], "dim": b["dim"],
+                         "centroid": cent})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_EMB_CENTROIDS_SQL = """
+    WITH x AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               unnest(generate_series(0, len(embedding) - 1)) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings)
+    SELECT label, dim,
+           FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*))
+                 * 1000000 + 0.5) / 1000000 AS centroid
+    FROM x GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2543,6 +2656,8 @@ QUERIES: dict = {
     "char_entropy": (q_char_entropy, _CHAR_ENTROPY_SQL),
     "chunk_docs": (q_chunk_docs, _EXPLODE_SQL),
     "user_path": (q_user_path, _USER_PATH_SQL),
+    "gap_quantiles": (q_gap_quantiles, _GAP_QUANTILES_SQL),
+    "embedding_centroids": (q_embedding_centroids, _EMB_CENTROIDS_SQL),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "funnel_counts": (q_funnel_counts, _FUNNEL_SQL),
     "trend_slope": (q_trend_slope, _TREND_SQL),
