@@ -100,7 +100,8 @@ def run_benchmarks() -> dict:
                  "trend_slope", "anomaly_zscore", "interval_count",
                  "sliding_distinct", "repetition_score", "tfidf_top3",
                  "dedup_clusters", "funnel_counts", "gap_quantiles",
-                 "embedding_centroids"):
+                 "embedding_centroids", "dedup_keep_best",
+                 "trending_daily"):
         timed(name)
 
     value = timings[headline]

@@ -2554,6 +2554,100 @@ _EMB_CENTROIDS_SQL = """
     FROM x GROUP BY 1, 2"""
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup with a KEEP-BEST policy: within each exact-text group
+    keep the doc with the most characters (tie -> smallest id) — the
+    production rule when duplicates differ in metadata quality, vs
+    dedup_exact's min-id rule. Only ``(hash128, n_chars, doc_id)`` rows
+    shuffle (24+8 B/doc); argmax per group is one vectorized lexsort."""
+    from ..stages.dedup import _hash128
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _hash128(pa.Array.from_pandas(b["text"]))
+        return pd.DataFrame({"h1": h1, "h2": h2,
+                             "n_chars": b["n_chars"].to_numpy(),
+                             "doc_id": b["doc_id"].to_numpy(),
+                             "_part": (h1 % np.uint64(32)).astype(np.int32)})
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        nc = g["n_chars"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        # per (h1,h2) group: max n_chars, then min doc_id
+        order = np.lexsort((ids, -nc, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.concatenate(([True], (h1s[1:] != h1s[:-1])
+                                | (h2s[1:] != h2s[:-1])))
+        return pd.DataFrame({"doc_id": np.sort(ids[order][first])})
+
+    return docs.map_batches(narrow, batch_format="pandas") \
+        .groupby("_part").map_groups(
+            lambda g: keep_best(g.drop(columns=["_part"])),
+            batch_format="pandas")
+
+
+_DEDUP_KEEP_BEST_SQL = """
+    SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+    WHERE rn = 1"""
+
+
+def q_trending_daily(sf_dir: str):
+    """Per-day top-2 event types by count, with each type's share of the
+    day's traffic — the trending/top-dimensions dashboard tile. Map-side
+    (day, type) count partials; the per-day rank + share run over the
+    tiny merged aggregate (days x types rows), never the fact stream."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.append_column("day", R.floor_bucket(b["ts"], "1d"))
+        out = b.group_by(["day", "event_type"]).aggregate([("ts", "count")])
+        return out.rename_columns(["day", "event_type", "n"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    merged = p.groupby(["day", "event_type"]).aggregate(
+        Sum("n", alias_name="n"))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        tot = g.groupby("day", sort=False)["n"].transform("sum").to_numpy()
+        rank = g.groupby("day", sort=False).cumcount().to_numpy() + 1
+        g = g.assign(rank=rank.astype(np.int64),
+                     share=r6(g["n"].to_numpy() / tot))
+        g["day"] = g["day"].astype("datetime64[us]")
+        return g.loc[g["rank"] <= 2,
+                     ["day", "rank", "event_type", "n", "share"]]
+
+    parted = R._add_part(merged, "day", 16)
+
+    def fix(g: pd.DataFrame) -> pd.DataFrame:
+        return rank_part(g.drop(columns=["_part"]))
+
+    return parted.groupby("_part").map_groups(fix, batch_format="pandas")
+
+
+_TRENDING_SQL = """
+    WITH c AS (
+        SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT day, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY n DESC, event_type) AS rank,
+               SUM(n) OVER (PARTITION BY day) AS tot
+        FROM c)
+    SELECT day, CAST(rank AS BIGINT) AS rank, event_type, n,
+           FLOOR((CAST(n AS DOUBLE) / tot) * 1000000 + 0.5) / 1000000
+               AS share
+    FROM r WHERE rank <= 2"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2656,6 +2750,8 @@ QUERIES: dict = {
     "char_entropy": (q_char_entropy, _CHAR_ENTROPY_SQL),
     "chunk_docs": (q_chunk_docs, _EXPLODE_SQL),
     "user_path": (q_user_path, _USER_PATH_SQL),
+    "dedup_keep_best": (q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
+    "trending_daily": (q_trending_daily, _TRENDING_SQL),
     "gap_quantiles": (q_gap_quantiles, _GAP_QUANTILES_SQL),
     "embedding_centroids": (q_embedding_centroids, _EMB_CENTROIDS_SQL),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
