@@ -101,7 +101,8 @@ def run_benchmarks() -> dict:
                  "sliding_distinct", "repetition_score", "tfidf_top3",
                  "dedup_clusters", "funnel_counts", "gap_quantiles",
                  "embedding_centroids", "dedup_keep_best",
-                 "trending_daily"):
+                 "trending_daily", "shipping_priority", "debounce_events",
+                 "resample_linear"):
         timed(name)
 
     value = timings[headline]

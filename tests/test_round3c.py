@@ -212,3 +212,30 @@ def test_funnel_counts_hand_case():
     assert out["view"] == 3
     assert out["click"] == 2   # u1 and u3 (u2's click precedes its view)
     assert out["purchase"] == 1  # u1 only (u3's purchase precedes click)
+
+
+def test_resample_linear_hand_case():
+    import tslib_ray.pipelines.queries as qq
+    df = pd.DataFrame({
+        "user_id": np.array([7, 7, 7], dtype=np.int64),
+        "event_id": np.array([1, 2, 3], dtype=np.int64),
+        # events at 00:30, 02:30, exactly 04:00
+        "ts": pd.to_datetime([1800, 9000, 14400], unit="s"),
+        "value": [10.0, 30.0, 50.0],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    orig = qq._events
+    try:
+        qq._events = lambda sf, columns=None: ds.select_columns(columns)
+        out = qq.q_resample_linear("ignored").to_pandas()
+    finally:
+        qq._events = orig
+    out["bucket_ts"] = out["bucket_ts"].astype("datetime64[us]")
+    got = out.set_index("bucket_ts")["value"]
+    # grid 01:00..04:00; linear between (00:30,10)-(02:30,30)-(04:00,50)
+    assert got[pd.Timestamp("1970-01-01 01:00:00")] == 15.0
+    assert got[pd.Timestamp("1970-01-01 02:00:00")] == 25.0
+    assert abs(got[pd.Timestamp("1970-01-01 03:00:00")]
+               - (30 + 20 * (1800 / 5400))) < 1e-6
+    assert got[pd.Timestamp("1970-01-01 04:00:00")] == 50.0  # exact hit
+    assert len(got) == 4

@@ -2648,6 +2648,220 @@ _TRENDING_SQL = """
     FROM r WHERE rank <= 2"""
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (3-table pipeline): BUILDING-segment customers
+    (broadcast semi-join — the small side ships once via ray.put), orders
+    |><| lineitem on the order key (native co-partitioned hash join), date
+    filters pushed to the parquet read, map-side revenue partials, global
+    top-10 via per-partition top-k + tiny merge. Revenue =
+    sum(extprice * (1 - discount)) is exact in doubles (2dp x 2dp inputs),
+    so the 0.01-grid compare is bit-stable."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_semi_join
+    import datetime as _dt
+    cutoff = _dt.datetime(1996, 1, 1)
+    ship_cut = _dt.datetime(1996, 6, 30)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow").to_pandas()["c_custkey"].to_numpy()
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_orderpriority"],
+                         filter=(pc.field("o_orderdate") >= cutoff))
+    od = broadcast_semi_join(od, "o_custkey", keys) \
+        .drop_columns(["o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"],
+                         filter=(pc.field("l_shipdate") > ship_cut))
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+    joined = li.join(od, "inner", num_partitions=max(2, ncpu // 2),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        b = b.append_column("rev", rev)
+        out = b.group_by(["l_orderkey", "o_orderdate",
+                          "o_orderpriority"]).aggregate([("rev", "sum")])
+        return out.rename_columns(["l_orderkey", "o_orderdate",
+                                   "o_orderpriority", "revenue"])
+
+    merged = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("revenue", alias_name="revenue"))
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        b["o_orderdate"] = b["o_orderdate"].astype("datetime64[us]")
+        b["_g"] = np.int32(0)
+        return b.head(10)
+
+    def final_top(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop(columns=["_g"]).sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True],
+            kind="mergesort").head(10)
+        b["revenue"] = np.floor(b["revenue"] * 1e2 + 0.5) / 1e2
+        return b[["l_orderkey", "o_orderdate", "o_orderpriority",
+                  "revenue"]]
+
+    return merged.map_batches(local_top, batch_format="pandas") \
+        .groupby("_g").map_groups(final_top, batch_format="pandas")
+
+
+_SHIPPING_PRIORITY_SQL = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate > TIMESTAMP '1996-06-30'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+
+def q_debounce_events(sf_dir: str):
+    """Debounce: drop events whose SAME (user, type) predecessor is less
+    than 5 s older (lag rule, not chained — the SQL-exact variant; a
+    chained debounce is sequential by definition). One hash shuffle,
+    masked-diff keep rule."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.concatenate(
+            ([False], (u[1:] == u[:-1]) & (et[1:] == et[:-1])))
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = np.iinfo(np.int64).max
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = ~same | (gap >= 5_000_000)
+        return pd.DataFrame({"event_id": np.sort(
+            g["event_id"].to_numpy()[keep])})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_DEBOUNCE_SQL = """
+    SELECT event_id FROM (
+        SELECT event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap
+        FROM events)
+    WHERE gap IS NULL OR gap >= 5000000"""
+
+
+def q_resample_linear(sf_dir: str):
+    """Resample each user's stream onto a 1 h grid with LINEAR
+    interpolation between the bracketing observations — the
+    nanInterpolate-on-a-new-grid combination of gap_fill (linear) and
+    resample_locf (grid). Grid = ceil(first)..floor(last) per key, so both
+    brackets always exist; ties at one ts collapse arg_max(event_id)
+    first. Same offset-encoded composite-searchsorted plan as
+    resample_locf: one shuffle, no per-key loop; the interpolation uses
+    the SQL oracle's exact expression (µs deltas are integers < 2**53, so
+    both sides compute bit-identical doubles before the shared 6dp
+    floor)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    step = np.int64(3_600_000_000)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "bucket_ts": pd.Series([], dtype="datetime64[us]"),
+            "value": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy()
+        last = np.concatenate(((u[:-1] != u[1:]) | (ts[:-1] != ts[1:]),
+                               [True]))
+        eu, ets, ev = u[last], ts[last], v[last]
+        starts = np.flatnonzero(np.concatenate(([True], eu[1:] != eu[:-1])))
+        ends = np.append(starts[1:], len(eu))
+        mn = -((-ets[starts]) // step) * step    # ceil to the grid
+        mx = (ets[ends - 1] // step) * step      # floor to the grid
+        cnt = np.maximum((mx - mn) // step + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        kidx = np.repeat(np.arange(len(starts)), cnt)
+        csum0 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        intra = np.arange(total) - np.repeat(csum0, cnt)
+        grid_ts = mn[kidx] + intra * step
+        base = int(min(ets.min(), grid_ts.min()))
+        span = int(max(ets.max(), grid_ts.max())) - base + 2
+        ekey = np.searchsorted(eu[starts], eu)
+        code_e = ekey * span + (ets - base)
+        code_g = kidx * span + (grid_ts - base)
+        prev = np.searchsorted(code_e, code_g, side="right") - 1
+        nxt = np.searchsorted(code_e, code_g, side="left")
+        pt, nt = ets[prev], ets[nxt]
+        pv, nv = ev[prev], ev[nxt]
+        exact = nt == pt
+        frac = np.zeros(total)
+        np.divide((grid_ts - pt).astype(np.float64),
+                  (nt - pt).astype(np.float64), out=frac, where=~exact)
+        val = np.where(exact, pv, pv + (nv - pv) * frac)
+        return pd.DataFrame({
+            "user_id": eu[starts][kidx],
+            "bucket_ts": grid_ts.astype("datetime64[us]"),
+            "value": r6(val)})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_RESAMPLE_LINEAR_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t, arg_max(value, event_id) AS v
+        FROM events GROUP BY user_id, ts),
+    bounds AS (
+        SELECT user_id,
+               ((epoch_us(MIN(ts)) + 3599999999) // 3600000000)
+                   * 3600000000 AS gmin,
+               (epoch_us(MAX(ts)) // 3600000000) * 3600000000 AS gmax
+        FROM events GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(gmin, gmax, 3600000000))
+                   AS gt
+        FROM bounds WHERE gmin <= gmax),
+    prv AS (
+        SELECT g.user_id, g.gt, e.t AS pt, e.v AS pv
+        FROM grid g ASOF JOIN e
+            ON g.user_id = e.user_id AND g.gt >= e.t),
+    en AS (SELECT user_id, -t AS nt_neg, t, v FROM e),
+    nxt AS (
+        SELECT p.user_id, p.gt, p.pt, p.pv, en.t AS nt, en.v AS nv
+        FROM prv p ASOF JOIN en
+            ON p.user_id = en.user_id AND -p.gt >= en.nt_neg)
+    SELECT user_id, to_timestamp(gt // 1000000)::TIMESTAMP AS bucket_ts,
+           FLOOR((CASE WHEN nt = pt THEN pv
+                       ELSE pv + (nv - pv)
+                            * (CAST(gt - pt AS DOUBLE)
+                               / CAST(nt - pt AS DOUBLE)) END)
+                 * 1000000 + 0.5) / 1000000 AS value
+    FROM nxt"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2752,6 +2966,9 @@ QUERIES: dict = {
     "user_path": (q_user_path, _USER_PATH_SQL),
     "dedup_keep_best": (q_dedup_keep_best, _DEDUP_KEEP_BEST_SQL),
     "trending_daily": (q_trending_daily, _TRENDING_SQL),
+    "shipping_priority": (q_shipping_priority, _SHIPPING_PRIORITY_SQL),
+    "debounce_events": (q_debounce_events, _DEBOUNCE_SQL),
+    "resample_linear": (q_resample_linear, _RESAMPLE_LINEAR_SQL),
     "gap_quantiles": (q_gap_quantiles, _GAP_QUANTILES_SQL),
     "embedding_centroids": (q_embedding_centroids, _EMB_CENTROIDS_SQL),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
