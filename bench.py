@@ -102,7 +102,8 @@ def run_benchmarks() -> dict:
                  "dedup_clusters", "funnel_counts", "gap_quantiles",
                  "embedding_centroids", "dedup_keep_best",
                  "trending_daily", "shipping_priority", "debounce_events",
-                 "resample_linear"):
+                 "resample_linear", "mad_per_user", "transition_counts",
+                 "percent_rank_value"):
         timed(name)
 
     value = timings[headline]

@@ -2478,7 +2478,8 @@ def q_gap_quantiles(sf_dir: str):
             frac = pos - lo
             i = starts + lo
             hi = np.minimum(i + 1, starts + n - 1)
-            return gaps[i] * (1 - frac) + gaps[hi] * frac
+            # quantile_cont's exact expression (see q_mad_per_user note)
+            return gaps[i] + (gaps[hi] - gaps[i]) * frac
 
         return pd.DataFrame({"user_id": uu[starts],
                              "n_gaps": n,
@@ -2862,6 +2863,147 @@ _RESAMPLE_LINEAR_SQL = """
     FROM nxt"""
 
 
+def q_mad_per_user(sf_dir: str):
+    """Robust per-user location/scale: median and MAD (median absolute
+    deviation) of value — the outlier-resistant twin of q_anomaly_zscore's
+    moments. Both medians are computed in ONE co-located partition pass
+    (two lexsorts, no per-user loop), with quantile_cont's linear
+    interpolation so the SQL oracle is exact."""
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def _seg_median(keys: np.ndarray, vals: np.ndarray):
+        """Median per contiguous key segment of a (key-sorted) pair of
+        arrays, interpolated like quantile_cont(0.5)."""
+        order = np.lexsort((vals, keys))
+        k, v = keys[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, k.size])
+        pos = (n - 1) * 0.5
+        lo = pos.astype(np.int64)
+        frac = pos - lo
+        i = starts + lo
+        hi = np.minimum(i + 1, starts + n - 1)
+        # quantile_cont's exact expression (lo + (hi-lo)*frac), NOT the
+        # algebraically-equal lerp — they differ in the last ulp and the
+        # MAD pass amplifies that through abs(v - med)
+        return k[starts], v[i] + (v[hi] - v[i]) * frac, n
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": np.empty(0, dtype=np.int64),
+                                 "n": np.empty(0, dtype=np.int64),
+                                 "median": np.empty(0),
+                                 "mad": np.empty(0)})
+        uk, med, n = _seg_median(u, v)
+        med_of = med[np.searchsorted(uk, u)]
+        _, mad, _ = _seg_median(u, np.abs(v - med_of))
+        return pd.DataFrame({"user_id": uk, "n": n.astype(np.int64),
+                             "median": r6(med), "mad": r6(mad)})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_MAD_SQL = """
+    WITH m AS (
+        SELECT user_id, COUNT(*) AS n,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id)
+    SELECT e.user_id, m.n,
+           FLOOR(m.med * 1000000 + 0.5) / 1000000 AS median,
+           FLOOR(quantile_cont(abs(e.value - m.med), 0.5)
+                 * 1000000 + 0.5) / 1000000 AS mad
+    FROM events e JOIN m ON e.user_id = m.user_id
+    GROUP BY e.user_id, m.n, m.med"""
+
+
+def q_transition_counts(sf_dir: str):
+    """Event-type transition matrix: global counts of (type -> next type
+    of the SAME user, ordered by ts, event_id) — the bigram statistics a
+    sequence model's data prep computes. Masked shift inside each user
+    partition; tiny (5x5) merge."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame({"from_type": pd.Series([], dtype=str),
+                                 "to_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        a, b = et[:-1][same], et[1:][same]
+        out = pd.DataFrame({"from_type": a, "to_type": b}) \
+            .groupby(["from_type", "to_type"], sort=False).size() \
+            .rename("n").reset_index()
+        return out
+
+    from ray.data.aggregate import Sum
+    parted = R._add_part(ds, "user_id", 64)
+    partials = parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+_TRANSITION_SQL = """
+    WITH p AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events)
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2"""
+
+
+def q_percent_rank_value(sf_dir: str):
+    """Within-user percent rank of each event's value (min-rank tie rule,
+    ``(rank - 1) / (n - 1)``) — the per-key ECDF normalization feature.
+    One shuffle; ranks vectorized across all of a partition's users."""
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": np.empty(0, dtype=np.int64),
+                                 "pr": np.empty(0)})
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        starts_mask = np.r_[True, us[1:] != us[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(starts_mask, np.arange(us.size), 0))
+        # min-rank for ties: first index of each equal-value run in the seg
+        new_val = starts_mask | (vs != np.r_[np.nan, vs[:-1]])
+        run_start = np.maximum.accumulate(
+            np.where(new_val, np.arange(us.size), 0))
+        rank = run_start - seg_start  # 0-based min rank within user
+        n = np.diff(np.r_[np.flatnonzero(starts_mask), us.size])
+        n_of = np.repeat(n, n)
+        pr = np.zeros(us.size)
+        big = n_of > 1
+        pr[big] = rank[big] / (n_of[big] - 1)
+        out = np.empty(us.size)
+        out[order] = pr
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "pr": r6(out)})
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_PERCENT_RANK_SQL = """
+    SELECT event_id,
+           FLOOR(percent_rank() OVER (PARTITION BY user_id ORDER BY value)
+                 * 1000000 + 0.5) / 1000000 AS pr
+    FROM events"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2969,6 +3111,9 @@ QUERIES: dict = {
     "shipping_priority": (q_shipping_priority, _SHIPPING_PRIORITY_SQL),
     "debounce_events": (q_debounce_events, _DEBOUNCE_SQL),
     "resample_linear": (q_resample_linear, _RESAMPLE_LINEAR_SQL),
+    "mad_per_user": (q_mad_per_user, _MAD_SQL),
+    "transition_counts": (q_transition_counts, _TRANSITION_SQL),
+    "percent_rank_value": (q_percent_rank_value, _PERCENT_RANK_SQL),
     "gap_quantiles": (q_gap_quantiles, _GAP_QUANTILES_SQL),
     "embedding_centroids": (q_embedding_centroids, _EMB_CENTROIDS_SQL),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
