@@ -2651,29 +2651,30 @@ _TRENDING_SQL = """
 
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape (3-table pipeline): BUILDING-segment customers
-    (broadcast semi-join — the small side ships once via ray.put), orders
-    |><| lineitem on the order key (native co-partitioned hash join), date
+    |><| orders |><| lineitem via two native co-partitioned hash joins
+    (the customer side is a FIXED FRACTION of the corpus, so it is joined,
+    not driver-collected-and-broadcast — broadcast_semi_join is reserved
+    for sides bounded by construction, cf. semijoin_top_users), date
     filters pushed to the parquet read, map-side revenue partials, global
     top-10 via per-partition top-k + tiny merge. Revenue =
     sum(extprice * (1 - discount)) is exact in doubles (2dp x 2dp inputs),
     so the 0.01-grid compare is bit-stable."""
     import ray as _ray
     from ray.data.aggregate import Sum
-    from ..stages.join import broadcast_semi_join
     import datetime as _dt
     cutoff = _dt.datetime(1996, 1, 1)
     ship_cut = _dt.datetime(1996, 6, 30)
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"])
-    keys = cust.map_batches(
-        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
-                   .select(["c_custkey"]),
-        batch_format="pyarrow").to_pandas()["c_custkey"].to_numpy()
+    ncpu_ = int(_ray.cluster_resources().get("CPU", 4))
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == "BUILDING")) \
+        .drop_columns(["c_mktsegment"])
     od = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_orderdate",
                                   "o_orderpriority"],
                          filter=(pc.field("o_orderdate") >= cutoff))
-    od = broadcast_semi_join(od, "o_custkey", keys) \
+    od = od.join(cust, "inner", num_partitions=max(2, ncpu_ // 4),
+                 on=("o_custkey",), right_on=("c_custkey",)) \
         .drop_columns(["o_custkey"])
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice",
