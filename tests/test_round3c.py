@@ -239,3 +239,48 @@ def test_resample_linear_hand_case():
                - (30 + 20 * (1800 / 5400))) < 1e-6
     assert got[pd.Timestamp("1970-01-01 04:00:00")] == 50.0  # exact hit
     assert len(got) == 4
+
+
+def test_bloom_semi_join_exact_vs_isin():
+    from tslib_ray.stages.join import bloom_semi_join, build_bloom
+    import ray
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 10_000, 5000).astype(np.int64),
+        "payload": rng.integers(0, 100, 5000).astype(np.int64)})
+    right = pd.DataFrame({"rk": rng.integers(0, 10_000, 700)
+                          .astype(np.int64)})
+    got = bloom_semi_join(rd.from_pandas(left).repartition(4), "k",
+                          rd.from_pandas(right).repartition(3), "rk",
+                          m_bits=1 << 16, n_parts=5).to_pandas()
+    want = left[left["k"].isin(right["rk"])]
+    g = got.sort_values(["k", "payload"]).reset_index(drop=True)
+    w = want.sort_values(["k", "payload"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["k", "payload"]], w[["k", "payload"]])
+    # the bitmap itself must never produce a false negative
+    bm = ray.get(build_bloom(rd.from_pandas(right), "rk", m_bits=1 << 16))
+    from tslib_ray.stages.join import _bloom_positions
+    keys = right["rk"].to_numpy()
+    hit = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys, 1 << 16):
+        hit &= (bm[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))) & np.uint64(1) > 0
+    assert hit.all()
+
+
+def test_rollup_multi_key_matches_pandas(sf_small):
+    from tslib_ray.pipelines.queries import QUERIES
+    got = QUERIES["rollup_1h_by_type"][0](sf_small).to_pandas()
+    raw = pd.read_parquet(f"{sf_small}/events.parquet",
+                          columns=["user_id", "event_type", "ts", "value"])
+    raw["bucket_ts"] = raw["ts"].dt.floor("h")
+    want = raw.groupby(["user_id", "event_type", "bucket_ts"])["value"] \
+        .agg(["sum", "min", "max", "count", "mean"]).reset_index()
+    key = ["user_id", "event_type", "bucket_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    # query output is 6dp-rounded (driver convention)
+    np.testing.assert_allclose(got["sum_value"], want["sum"], atol=1e-6)
+    np.testing.assert_allclose(got["mean_value"], want["mean"], atol=1e-6)
+    np.testing.assert_array_equal(got["n"], want["count"])

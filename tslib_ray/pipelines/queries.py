@@ -3005,6 +3005,172 @@ _PERCENT_RANK_SQL = """
     FROM events"""
 
 
+def q_props_rollup(sf_dir: str):
+    """Extract-then-aggregate: the props integer bucketed into deciles,
+    count + mean value per bucket — the JSON-field groupby a product
+    pipeline composes from q_props_extract's kernel. Map-side extraction +
+    partial sums; only 11 bucket rows reach the final exchange."""
+    from ray.data.aggregate import Sum
+    ds = _events(sf_dir, ["props", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(b["props"], pattern=r"(?P<k>[0-9]+)"), "k"),
+            pa.int64())
+        bucket = pc.divide(k, pa.scalar(10, pa.int64()))
+        t = pa.table({"k_decile": bucket, "value": b["value"]})
+        out = t.group_by(["k_decile"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return out.rename_columns(["k_decile", "n", "s"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k_decile").aggregate(Sum("n", alias_name="n"),
+                                       Sum("s", alias_name="s"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        mean = _r6_arrow(pc.divide(b["s"], pc.cast(b["n"], pa.float64())))
+        return pa.table({"k_decile": b["k_decile"], "n": b["n"],
+                         "mean_value": mean})
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_PROPS_ROLLUP_SQL = """
+    SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) // 10
+               AS k_decile,
+           COUNT(value) AS n,
+           FLOOR((SUM(value) / COUNT(value)) * 1000000 + 0.5) / 1000000
+               AS mean_value
+    FROM events GROUP BY 1"""
+
+
+def q_rollup_1h_by_type(sf_dir: str):
+    """Two-key tier rollup (user x event_type, hourly): the same map-side
+    partial rows as the single-key engine (rollup._partial_batch handles
+    any key list) merged with a MULTI-KEY deterministic reduce — per-key
+    dict codes folded into one composite int, then the usual
+    lexsort+reduceat with a total tie order, so the result is
+    byte-identical at any parallelism (the single-key variant's invariant,
+    extended)."""
+    keys = ["user_id", "event_type"]
+    ds = _events(sf_dir, keys + ["ts", "value"])
+    partial = ds.map_batches(
+        lambda b: R._partial_batch(b, keys, "ts", "value", "1h"),
+        batch_format="pyarrow")
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        c1, u1 = R._dict_encode(t[keys[0]])
+        c2, u2 = R._dict_encode(t[keys[1]])
+        codes = c1.astype(np.int64) * np.int64(max(len(u2), 1)) + c2
+        b = t["bucket_ts"].cast(pa.int64()).to_numpy()
+        sv = t["sum_value"].to_numpy(zero_copy_only=False)
+        mn = t["min_value"].to_numpy(zero_copy_only=False)
+        mx = t["max_value"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((n, mx, mn, sv, b, codes))
+        codes, b = codes[order], b[order]
+        sv, mn, mx, n = sv[order], mn[order], mx[order], n[order]
+        boundary = np.concatenate(
+            ([True], (codes[1:] != codes[:-1]) | (b[1:] != b[:-1])))
+        idx = np.flatnonzero(boundary)
+        sums = np.add.reduceat(sv, idx)
+        ns = np.add.reduceat(n, idx)
+        return pa.table({
+            keys[0]: pc.take(u1, pa.array(codes[idx] // max(len(u2), 1))),
+            keys[1]: pc.take(u2, pa.array(codes[idx] % max(len(u2), 1))),
+            "bucket_ts": pa.array(b[idx], type=pa.timestamp("us")),
+            "sum_value": pa.array(sums),
+            "min_value": pa.array(np.fmin.reduceat(mn, idx)),
+            "max_value": pa.array(np.fmax.reduceat(mx, idx)),
+            "n": pa.array(ns),
+            "mean_value": pa.array(sums / ns),
+        })
+
+    parted = R._add_part(partial, keys[0], 64)
+    out = parted.groupby("_part").map_groups(
+        lambda t: merge_part(t.drop_columns(["_part"])),
+        batch_format="pyarrow")
+    return _round6(out)
+
+
+_ROLLUP_BY_TYPE_SQL = """
+    SELECT user_id, event_type, date_trunc('hour', ts) AS bucket_ts,
+           FLOOR((SUM(value)) * 1000000 + 0.5) / 1000000 AS sum_value,
+           FLOOR((MIN(value)) * 1000000 + 0.5) / 1000000 AS min_value,
+           FLOOR((MAX(value)) * 1000000 + 0.5) / 1000000 AS max_value,
+           COUNT(value) AS n,
+           FLOOR((SUM(value) / COUNT(value)) * 1000000 + 0.5) / 1000000
+               AS mean_value
+    FROM events GROUP BY 1, 2, 3"""
+
+
+def q_corpus_composition(sf_dir: str):
+    """Corpus composition report: per (source, lang) doc count, total and
+    mean characters — the first table a curator prints before filtering.
+    Map-side partials; the exchange is sources x langs rows."""
+    from ray.data.aggregate import Sum
+    ds = _docs(sf_dir, ["source", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return out.rename_columns(["source", "lang", "n_docs",
+                                   "total_chars"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        mean = _r6_arrow(pc.divide(pc.cast(b["total_chars"], pa.float64()),
+                                   pc.cast(b["n_docs"], pa.float64())))
+        return b.append_column("mean_chars", mean)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_CORPUS_COMPOSITION_SQL = """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           FLOOR((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*))
+                 * 1000000 + 0.5) / 1000000 AS mean_chars
+    FROM documents GROUP BY 1, 2"""
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Large x large EXACT semi-join via a broadcast Bloom prefilter
+    (stages/join.py::bloom_semi_join): orders of negative-balance
+    customers, counted per priority. The Bloom bitmap is O(1) in corpus
+    size and prunes the fact stream map-side; survivors are verified with
+    a co-partitioned set-intersection, so false positives cannot leak —
+    the oracle is the plain IN-subquery."""
+    from ray.data.aggregate import Sum
+    from ..stages.join import bloom_semi_join
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderpriority"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"],
+                           filter=(pc.field("c_acctbal") < 0.0))
+    kept = bloom_semi_join(od, "o_custkey", cust, "c_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["o_orderpriority"]).aggregate(
+            [("o_custkey", "count")])
+        return out.rename_columns(["o_orderpriority", "n"])
+
+    return kept.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(Sum("n", alias_name="n"))
+
+
+_BLOOM_SEMIJOIN_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal < 0)
+    GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3115,6 +3281,10 @@ QUERIES: dict = {
     "mad_per_user": (q_mad_per_user, _MAD_SQL),
     "transition_counts": (q_transition_counts, _TRANSITION_SQL),
     "percent_rank_value": (q_percent_rank_value, _PERCENT_RANK_SQL),
+    "props_rollup": (q_props_rollup, _PROPS_ROLLUP_SQL),
+    "rollup_1h_by_type": (q_rollup_1h_by_type, _ROLLUP_BY_TYPE_SQL),
+    "corpus_composition": (q_corpus_composition, _CORPUS_COMPOSITION_SQL),
+    "bloom_semijoin": (q_bloom_semijoin, _BLOOM_SEMIJOIN_SQL),
     "gap_quantiles": (q_gap_quantiles, _GAP_QUANTILES_SQL),
     "embedding_centroids": (q_embedding_centroids, _EMB_CENTROIDS_SQL),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),

@@ -89,3 +89,119 @@ def broadcast_lookup_join(ds: "rd.Dataset", key: str,
         return b
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered exact semi-join (the >heap-scale path promised above)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int) -> list[np.ndarray]:
+    """k=3 double-hash positions per key (Kirsch-Mitzenmacher: h1 + i*h2,
+    public construction) — deterministic across processes."""
+    k = np.ascontiguousarray(keys, dtype=np.int64).view(np.uint64)
+    h1 = k * np.uint64(_BLOOM_SEEDS[0])
+    h1 ^= h1 >> np.uint64(31)
+    h2 = (k ^ np.uint64(_BLOOM_SEEDS[1])) * np.uint64(_BLOOM_SEEDS[2])
+    h2 |= np.uint64(1)
+    return [((h1 + np.uint64(i) * h2) % np.uint64(m_bits))
+            for i in range(3)]
+
+
+def build_bloom(ds: "rd.Dataset", key: str,
+                m_bits: int = 1 << 23) -> "ray.ObjectRef":
+    """Distributed Bloom build: every block OR-folds its keys into a local
+    ``m_bits`` bitmap (uint64 words) and emits the bitmap as ONE row; the
+    driver ORs the per-block bitmaps (blocks x m_bits/8 bytes — a tree
+    reduce is the drop-in upgrade when block count x bitmap size outgrows
+    the driver; the bitmap itself is O(1) in corpus size). Returns a
+    ``ray.put`` handle to the final bitmap."""
+    words = m_bits // 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        bm = np.zeros(words, dtype=np.uint64)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        for pos in _bloom_positions(keys, m_bits):
+            np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    parts = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    final = np.zeros(words, dtype=np.uint64)
+    for row in parts:
+        final |= np.frombuffer(row["bm"], dtype=np.uint64)
+    return ray.put(final)
+
+
+def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
+                    right_key: str, m_bits: int = 1 << 23,
+                    n_parts: int = 32) -> "rd.Dataset":
+    """EXACT semi-join for two large sides: a broadcast Bloom bitmap of the
+    right side's keys prunes ``ds`` map-side (no false negatives, so
+    nothing is lost), then the ~|matching| survivors are verified exactly
+    with a co-partitioned (key, flag) set-intersection — the same narrow
+    exchange ``ids_difference`` uses. Only Bloom SURVIVORS ever shuffle;
+    at a 1% false-positive rate the exchange is |match| + 0.01|ds| rows
+    instead of |ds| + |right|."""
+    bloom_ref = build_bloom(right, right_key, m_bits)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        hit = np.ones(len(b), dtype=bool)
+        for pos in _bloom_positions(keys, m_bits):
+            hit &= (bm[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1) > 0
+        return b.filter(pa.array(hit))
+
+    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+
+    # exact verify: co-partition survivor keys with right keys, keep
+    # survivor rows whose key actually appears on the right
+    def tag(b: pa.Table, flag: int, kcol: str) -> pa.Table:
+        keys = b[kcol].cast(pa.int64())
+        t = pa.table({"_k": keys,
+                      "_d": pa.array(np.full(len(b), flag, dtype=np.int8))})
+        for c in b.column_names:
+            t = t.append_column(c, b[c])
+        return t
+
+    import pandas as pd
+    right_keys = right.select_columns([right_key]).map_batches(
+        lambda b: tag(b, 1, right_key).select(["_k", "_d"]),
+        batch_format="pyarrow")
+    left_tagged = survivors.map_batches(
+        lambda b: tag(b, 0, key), batch_format="pyarrow")
+    # align schemas for the union: right side gets null payload columns
+    l_schema = left_tagged.schema()  # Ray Schema wrapper (names + types)
+    col_type = dict(zip(l_schema.names, l_schema.types))
+    payload_cols = [c for c in l_schema.names if c not in ("_k", "_d")]
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        n = len(b)
+        for c in payload_cols:
+            b = b.append_column(c, pa.nulls(n, type=col_type[c]))
+        return b
+
+    both = left_tagged.union(right_keys.map_batches(
+        pad_right, batch_format="pyarrow"))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g.loc[g["_d"] == 1, "_k"].to_numpy()
+        lhs = g[g["_d"] == 0]
+        keep = np.isin(lhs["_k"].to_numpy(), rk)
+        out = lhs.loc[keep, payload_cols]
+        # the union's null padding promoted int payloads to float in the
+        # pandas view; the kept rows are all left-side (no nulls), so cast
+        # back to the left schema's dtypes
+        for c in payload_cols:
+            out[c] = out[c].astype(col_type[c].to_pandas_dtype())
+        return out
+
+    from .rollup import _add_part
+    parted = _add_part(both, "_k", n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda g: verify(g.drop(columns=["_part"])), batch_format="pandas")
