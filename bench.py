@@ -103,7 +103,8 @@ def run_benchmarks() -> dict:
                  "embedding_centroids", "dedup_keep_best",
                  "trending_daily", "shipping_priority", "debounce_events",
                  "resample_linear", "mad_per_user", "transition_counts",
-                 "percent_rank_value"):
+                 "percent_rank_value", "props_rollup", "rollup_1h_by_type",
+                 "corpus_composition", "bloom_semijoin"):
         timed(name)
 
     value = timings[headline]
