@@ -404,6 +404,26 @@ def run_docs_scale() -> dict:
                                          concurrency=NUM_CPUS // 2))
     t_mh, n_mh = timed(lambda: dedup_minhash(
         rd.read_parquet(DOCS_PATH), num_partitions=NUM_CPUS // 2))
+    from tslib_ray.stages.text import repetition_score, tfidf_topk
+    t_rep, _ = timed(lambda: repetition_score(rd.read_parquet(DOCS_PATH)))
+    t_tfidf, _ = timed(lambda: tfidf_topk(rd.read_parquet(DOCS_PATH)))
+
+    def cluster_dedup():
+        # end-to-end near-dup CLUSTERS: LSH pairs -> distributed verify ->
+        # connected components over the verified edge set
+        from tslib_ray.stages.dedup import (minhash_lsh_pairs,
+                                            verify_pairs_jaccard)
+        from tslib_ray.stages.graph import connected_components
+        docs_ds = rd.read_parquet(DOCS_PATH)
+        pairs = minhash_lsh_pairs(docs_ds)
+        edges = verify_pairs_jaccard(docs_ds, pairs, threshold=0.8,
+                                     num_partitions=NUM_CPUS // 2,
+                                     return_edges=True)
+        return connected_components(
+            edges, docs_ds.select_columns(["doc_id"]),
+            src="doc_id", dst="cand_id", node_col="doc_id")
+
+    t_cc, n_cc = timed(cluster_dedup)
     out = {
         "metric": "dedup/text stack at 10^6-doc scale",
         "value": t_mh,
@@ -416,9 +436,13 @@ def run_docs_scale() -> dict:
             "fingerprint": t_fp,
             "token_count": t_tok,
             "minhash_dedup": t_mh,
+            "repetition_score": t_rep,
+            "tfidf_top3": t_tfidf,
+            "dedup_clusters": t_cc,
         },
         "kept_exact": n_exact,
         "kept_minhash": n_mh,
+        "cc_labeled": n_cc,
         "docs_per_sec_minhash": round(n_docs / t_mh, 1),
         "num_cpus": NUM_CPUS,
         "loadavg_1m": round(os.getloadavg()[0], 1),
