@@ -144,14 +144,23 @@ def test_anomaly_zscore_flags_planted_outlier():
     assert (out["z"].abs() > 3).all()
 
 
-def test_connected_components_chain_and_islands():
-    from tslib_ray.stages.graph import connected_components
+import pytest
+
+
+def _cc_impl(name):
+    from tslib_ray.stages import graph
+    if name == "dataset":
+        return lambda e, n: graph.connected_components(e, n, n_parts=4)
+    return lambda e, n: graph.connected_components_actors(e, n, n_shards=3)
+
+
+@pytest.mark.parametrize("impl", ["dataset", "actors"])
+def test_connected_components_chain_and_islands(impl):
     edges = pd.DataFrame({"src": np.array([1, 2, 5], dtype=np.int64),
                           "dst": np.array([2, 3, 6], dtype=np.int64)})
     nodes = pd.DataFrame({"node": np.arange(8, dtype=np.int64)})
-    out = connected_components(rd.from_pandas(edges).repartition(2),
-                               rd.from_pandas(nodes).repartition(3),
-                               n_parts=4).to_pandas()
+    out = _cc_impl(impl)(rd.from_pandas(edges).repartition(2),
+                         rd.from_pandas(nodes).repartition(3)).to_pandas()
     lab = out.set_index("node")["label"]
     # chain 1-2-3 collapses transitively; 5-6 pairs; the rest are singletons
     assert lab[1] == lab[2] == lab[3] == 1
@@ -161,7 +170,8 @@ def test_connected_components_chain_and_islands():
     assert len(out) == 8
 
 
-def test_connected_components_random_vs_networkx_free_bruteforce():
+@pytest.mark.parametrize("impl", ["dataset", "actors"])
+def test_connected_components_random_vs_networkx_free_bruteforce(impl):
     rng = np.random.default_rng(13)
     n, m = 300, 250
     src = rng.integers(0, n, m)
@@ -169,10 +179,8 @@ def test_connected_components_random_vs_networkx_free_bruteforce():
     edges = pd.DataFrame({"src": src.astype(np.int64),
                           "dst": dst.astype(np.int64)})
     nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64)})
-    from tslib_ray.stages.graph import connected_components
-    got = connected_components(rd.from_pandas(edges).repartition(4),
-                               rd.from_pandas(nodes),
-                               n_parts=5).to_pandas() \
+    got = _cc_impl(impl)(rd.from_pandas(edges).repartition(4),
+                         rd.from_pandas(nodes)).to_pandas() \
         .set_index("node")["label"]
     # union-find reference
     parent = np.arange(n)

@@ -2358,6 +2358,11 @@ def q_dedup_clusters(sf_dir: str):
     pairs = minhash_lsh_pairs(docs, max_mates=64)
     edges = verify_pairs_jaccard(docs, pairs, threshold=0.8,
                                  return_edges=True)
+    # Dataset-shuffle CC: measured FASTER end-to-end than the actor-sharded
+    # variant (22 s vs 84 s at 1M docs) because LSH dup graphs converge in
+    # ~4 rounds — too few for the one-time actor edge scatter to amortize;
+    # connected_components_actors (same fixpoint, tested equal) is the
+    # right engine for high-diameter graphs where edge re-shuffles dominate
     labels = connected_components(edges, docs.select_columns(["doc_id"]),
                                   src="doc_id", dst="cand_id",
                                   node_col="doc_id")
