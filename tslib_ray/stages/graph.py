@@ -37,10 +37,16 @@ from .rollup import _add_part
 def connected_components(edges: "rd.Dataset", nodes: "rd.Dataset",
                          src: str = "src", dst: str = "dst",
                          node_col: str = "node", max_rounds: int = 30,
-                         n_parts: int = 32) -> "rd.Dataset":
+                         n_parts: int | None = None) -> "rd.Dataset":
     """``(node, label)`` where ``label`` is the smallest node id in the
     node's component. ``edges`` may be directed pairs; they are treated as
-    undirected. Isolated nodes keep ``label = node``."""
+    undirected. Isolated nodes keep ``label = node``.
+
+    ``n_parts`` defaults to ~1 partition per 200k state rows (clamped to
+    [4, 64]): every round pays two keyed exchanges, so on a small graph a
+    fixed 32-way fan-out is pure per-task overhead, while a huge graph
+    needs width — sized from the materialized edge/node counts (free
+    metadata after the materialize)."""
 
     def undirect(b: pa.Table) -> pa.Table:
         u = b[src].cast(pa.int64()).to_numpy()
@@ -55,6 +61,9 @@ def connected_components(edges: "rd.Dataset", nodes: "rd.Dataset",
             "node": b[node_col].cast(pa.int64()),
             "label": b[node_col].cast(pa.int64())}),
         batch_format="pyarrow").materialize()
+    if n_parts is None:
+        n_parts = int(min(64, max(4, (und.count() + labels.count())
+                                  // 200_000)))
     from ray.data.aggregate import Sum
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
