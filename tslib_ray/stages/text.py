@@ -98,7 +98,15 @@ class QualityScorer:
             "quality_score", pa.array(np.floor(score * 1e6 + 0.5) / 1e6))
 
 
-def quality_score(docs: "rd.Dataset", concurrency: int = 2) -> "rd.Dataset":
+def quality_score(docs: "rd.Dataset",
+                  concurrency: int | None = None) -> "rd.Dataset":
+    """Default is STATELESS tasks (the MinHasher rule: QualityScorer's
+    setup is a 10-element Arrow array, and an actor pool pays ~2-4 s of
+    spawn per invocation); pass an int for the actor-pool shape when a
+    heavier scorer variant makes per-actor setup worth holding."""
+    if concurrency is None:
+        qs = QualityScorer()
+        return docs.map_batches(lambda b: qs(b), batch_format="pyarrow")
     return docs.map_batches(QualityScorer, batch_format="pyarrow",
                             concurrency=concurrency)
 
@@ -130,7 +138,13 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
-def lang_id(docs: "rd.Dataset", concurrency: int = 2) -> "rd.Dataset":
+def lang_id(docs: "rd.Dataset",
+            concurrency: int | None = None) -> "rd.Dataset":
+    """Stateless tasks by default (tiny marker vocabularies — see
+    quality_score's note); actor pool on request for big real vocabs."""
+    if concurrency is None:
+        li = LangId()
+        return docs.map_batches(lambda b: li(b), batch_format="pyarrow")
     return docs.map_batches(LangId, batch_format="pyarrow",
                             concurrency=concurrency)
 
