@@ -77,7 +77,7 @@ def knn_brute(embeddings: "rd.Dataset", queries: np.ndarray, k: int = 10,
 
 
 def train_centroids(embeddings: "rd.Dataset", n_centroids: int = 16,
-                    sample_frac: float = 0.1, iters: int = 5,
+                    sample_frac: float = 0.1, iters: int = 3,
                     vec_col: str = "embedding", seed: int = 5,
                     max_sample_rows: int | None = None) -> np.ndarray:
     """Seeded k-means with a BOUNDED driver footprint (VERDICT r02 item 1).
