@@ -3305,3 +3305,38 @@ QUERIES: dict = {
                            "tslib_ray.pipelines.oracles",
                            fromlist=["media_values"]).media_values()),
 }
+
+# ---------------------------------------------------------------------------
+# registry ordering (round 4): the driver's CORRECTNESS check covers the
+# FIRST 50 registry entries only.  Rounds 1-3 verified 59 distinct queries;
+# this front list holds the 41 queries that have NEVER had a CORRECTNESS row
+# plus the 9 that were green in r02 but rotated out of r03's window, so that
+# rounds 2-4 together give every registry entry at least one driver-verified
+# row (VERDICT r03 item 1).  Triple-verified r02+r03 queries sit behind.
+# ---------------------------------------------------------------------------
+
+_ROUND4_FRONT = [
+    # 41 never driver-verified (added in round 3)
+    "rsc_weights", "semijoin_top_users", "session_assign", "pivot_role_wide",
+    "melt_lineitem", "autocorr_lag1", "cumsum_per_user", "stratified_sample",
+    "ann_lsh", "lookup_enrich", "argmax_per_user", "grouping_sets",
+    "text_clean", "resample_locf", "join_priority_flag", "new_users_daily",
+    "char_entropy", "chunk_docs", "user_path", "dedup_keep_best",
+    "trending_daily", "shipping_priority", "debounce_events",
+    "resample_linear", "mad_per_user", "transition_counts",
+    "percent_rank_value", "props_rollup", "rollup_1h_by_type",
+    "corpus_composition", "bloom_semijoin", "gap_quantiles",
+    "embedding_centroids", "dedup_clusters", "funnel_counts", "trend_slope",
+    "anomaly_zscore", "interval_count", "sliding_distinct",
+    "repetition_score", "tfidf_top3",
+    # 9 green in r02 but outside r03's 50-entry window
+    "embedding_dedup", "knn_ivf", "quality_score", "lang_id", "fingerprint",
+    "media_features", "rsc_counterfactual", "mrsc_counterfactual",
+    "incremental_denoise",
+]
+
+_ALL = QUERIES
+assert all(k in _ALL for k in _ROUND4_FRONT), \
+    sorted(set(_ROUND4_FRONT) - set(_ALL))
+QUERIES = {k: _ALL[k] for k in _ROUND4_FRONT}
+QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
