@@ -327,15 +327,17 @@ def _lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 def _hamming_ball(bucket: int, n_planes: int, radius: int) -> np.ndarray:
-    """All bucket ids within Hamming distance <= radius of ``bucket``."""
+    """All bucket ids within Hamming distance <= radius of ``bucket``
+    (any radius — generalized from the old r<=2 special case, which
+    silently under-probed for radius=3+; ADVICE r03)."""
+    from itertools import combinations
     out = [bucket]
-    if radius >= 1:
-        for i in range(n_planes):
-            out.append(bucket ^ (1 << i))
-    if radius >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                out.append(bucket ^ (1 << i) ^ (1 << j))
+    for r in range(1, min(radius, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for i in bits:
+                mask |= 1 << i
+            out.append(bucket ^ mask)
     return np.unique(np.asarray(out, dtype=np.uint32))
 
 

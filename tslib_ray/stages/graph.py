@@ -5,9 +5,10 @@ disagree across a chain a->b->c; cluster dedup keeps one doc per component).
 
 Algorithm (textbook label propagation / "hash-min", cf. Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14 — their
-large-star/small-star variant is the O(log n)-round upgrade when component
-DIAMETER is large; near-dup clusters are shallow, so plain hash-min
-converges in a handful of rounds):
+large-star/small-star variant, :func:`connected_components_stars` below,
+is the O(log n)-round upgrade when component DIAMETER is large; near-dup
+clusters are shallow, so plain hash-min converges in a handful of rounds
+and stays the default):
 
 - state: ``labels(node, label)``, initialized ``label = node``;
 - round: every node takes the min of its own label and its neighbors'
@@ -96,6 +97,14 @@ def connected_components(edges: "rd.Dataset", nodes: "rd.Dataset",
             starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
             node_u = n_s[starts]
             lab_u = np.maximum.reduceat(l_s, starts)  # the one label row
+            if np.any(lab_u < 0):
+                # an edge endpoint with no label row: -1 would win every
+                # min and silently poison its whole component (ADVICE r03)
+                bad = node_u[lab_u < 0][:5]
+                raise ValueError(
+                    f"edge endpoints missing from `nodes`: {bad.tolist()} "
+                    "— every vertex referenced by an edge must appear in "
+                    "the nodes dataset")
             # emit (peer, my_label) for edge rows + (node, my_label)
             idx = np.searchsorted(node_u, node)
             out_node = np.concatenate([peer[~is_lab], node_u])
@@ -126,6 +135,15 @@ def connected_components(edges: "rd.Dataset", nodes: "rd.Dataset",
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        # exhausting max_rounds without hitting the fixpoint means the
+        # labels are NOT component minima — failing loudly beats returning
+        # silently wrong clusters (ADVICE r03). High-diameter graphs should
+        # use connected_components_stars (O(log n) rounds) instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds; raise max_rounds or use connected_components_stars "
+            "for high-diameter graphs")
     return labels
 
 
@@ -160,6 +178,19 @@ class _CCShard:
             order = np.argsort(e[:, 0], kind="stable")
             self._esrc, self._edst = np.ascontiguousarray(e[order, 0]), \
                 np.ascontiguousarray(e[order, 1])
+            # every edge src hashed to this shard must have a node row here
+            # too, or emit() would index a wrong/out-of-bounds label
+            # (ADVICE r03) — validate the precondition loudly
+            if self._nodes.size == 0:
+                missing = self._esrc
+            else:
+                idx = np.clip(np.searchsorted(self._nodes, self._esrc), 0,
+                              self._nodes.size - 1)
+                missing = self._esrc[self._nodes[idx] != self._esrc]
+            if missing.size:
+                raise ValueError(
+                    f"edge endpoints missing from `nodes` on shard "
+                    f"{self.shard_id}: {np.unique(missing)[:5].tolist()}")
         self._node_blocks = self._edge_blocks = []
         return int(self._nodes.size)
 
@@ -274,3 +305,148 @@ def connected_components_actors(edges: "rd.Dataset", nodes: "rd.Dataset",
     out_refs = [copy_out.remote(sh.result.remote()) for sh in shards]
     ray.get(out_refs)  # materialize before the actor handles go away
     return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# large-star / small-star (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", SoCC'14) — the O(log n)-round variant for
+# HIGH-DIAMETER graphs, where hash-min needs O(diameter) rounds. Public
+# algorithm; this is a fresh Ray-Data expression of it (two narrow keyed
+# exchanges per round, O(1) driver-side convergence probe).
+# ---------------------------------------------------------------------------
+
+
+def _dedup_pairs_part(t: pa.Table) -> pa.Table:
+    """Unique (u, v) rows of one partition — lexsort + boundary mask (no
+    64-bit packing, so ids are unconstrained)."""
+    u = t["u"].to_numpy()
+    v = t["v"].to_numpy()
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+
+def connected_components_stars(edges: "rd.Dataset", nodes: "rd.Dataset",
+                               src: str = "src", dst: str = "dst",
+                               node_col: str = "node", max_rounds: int = 60,
+                               n_parts: int | None = None) -> "rd.Dataset":
+    """``(node, label)`` with ``label`` = component minimum, via alternating
+    large-star / small-star rounds. Same output contract as
+    :func:`connected_components` (tested equal); use this when the dup
+    graph CHAINS (crawl corpora): a path of depth 10^3 converges in
+    O(log n) rounds here vs 10^3 hash-min rounds.
+
+    Per round: one keyed exchange for the star op (grouped by one
+    endpoint, vectorized min/emit inside each partition) and one for the
+    global edge dedup that bounds edge-set growth. The driver holds only
+    the (count, sum) convergence probe.
+
+    - large-star: per node u with neighborhood G(u), connect every
+      STRICTLY LARGER neighbor to m = min(G(u) + {u});
+    - small-star: per node u, connect every neighbor <= u (they all are,
+      on canonical hi->lo edges) and u itself to the minimum.
+    Both emit canonical (bigger, smaller) pairs, so labels only descend.
+    """
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = b[src].cast(pa.int64()).to_numpy()
+        v = b[dst].cast(pa.int64()).to_numpy()
+        keep = u != v  # self-loops carry no connectivity
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.maximum(u, v)),
+                         "v": pa.array(np.minimum(u, v))})
+
+    def seg_min_emit(t: pa.Table, large: bool) -> pa.Table:
+        """One partition of the star op: rows (x, y) grouped by x; per
+        x-segment m = min(min(y), x); emit large: (y, m) for y > x,
+        small: (y, m) for y != m plus (x, m) if x != m."""
+        x = t["u"].to_numpy()
+        y = t["v"].to_numpy()
+        if x.size == 0:
+            return pa.table({"u": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+        seg = np.cumsum(np.r_[True, x[1:] != x[:-1]]) - 1
+        m = np.minimum(np.minimum.reduceat(y, starts), x[starts])
+        my = m[seg]
+        if large:
+            sel = y > x
+            out_u, out_v = y[sel], my[sel]
+        else:
+            sel = y != my
+            # the group key itself re-attaches to the min when it is not it
+            xs = x[starts]
+            xsel = xs != m
+            out_u = np.concatenate([y[sel], xs[xsel]])
+            out_v = np.concatenate([my[sel], m[xsel]])
+        return pa.table({"u": pa.array(out_u), "v": pa.array(out_v)})
+
+    def star(e: "rd.Dataset", large: bool, parts: int) -> "rd.Dataset":
+        if large:
+            # adjacency view: each canonical edge feeds BOTH endpoints
+            def both_dirs(b: pa.Table) -> pa.Table:
+                u = b["u"].to_numpy()
+                v = b["v"].to_numpy()
+                return pa.table({"u": pa.array(np.concatenate([u, v])),
+                                 "v": pa.array(np.concatenate([v, u]))})
+            e = e.map_batches(both_dirs, batch_format="pyarrow")
+        grouped = _add_part(e, "u", parts)
+        emitted = grouped.groupby("_part").map_groups(
+            lambda t: seg_min_emit(t.drop_columns(["_part"]), large),
+            batch_format="pyarrow")
+        deduped = _add_part(emitted, "u", parts)
+        return deduped.groupby("_part").map_groups(
+            lambda t: _dedup_pairs_part(t.drop_columns(["_part"])),
+            batch_format="pyarrow")
+
+    e = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    if n_parts is None:
+        n_parts = int(min(64, max(4, e.count() // 200_000)))
+    from ray.data.aggregate import Count, Sum
+    probe = None
+    for _ in range(max_rounds):
+        e = star(e, large=True, parts=n_parts)
+        e = star(e, large=False, parts=n_parts).materialize()
+        agg = e.aggregate(Count(), Sum("u", alias_name="su"),
+                          Sum("v", alias_name="sv"))
+        cur = (agg["count()"], agg["su"], agg["sv"])
+        if cur == probe:
+            break
+        probe = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_stars did not converge in {max_rounds} "
+            "rounds")
+
+    # at the fixpoint e is a set of stars (u -> component min). Labels:
+    # star members, the roots themselves, and isolated nodes — min per node.
+    def edge_labels(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy()
+        v = b["v"].to_numpy()
+        return pa.table({"node": pa.array(np.concatenate([u, v])),
+                         "label": pa.array(np.concatenate([v, v]))})
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b[node_col].cast(pa.int64()),
+                         "label": b[node_col].cast(pa.int64())})
+
+    lab = e.map_batches(edge_labels, batch_format="pyarrow").union(
+        nodes.map_batches(node_rows, batch_format="pyarrow"))
+
+    def min_part(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        l = t["label"].to_numpy()
+        order = np.argsort(node, kind="stable")
+        n_s, l_s = node[order], l[order]
+        starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+        return pa.table({
+            "node": pa.array(n_s[starts]),
+            "label": pa.array(np.minimum.reduceat(l_s, starts))})
+
+    parted = _add_part(lab, "node", n_parts)
+    return parted.groupby("_part").map_groups(
+        lambda t: min_part(t.drop_columns(["_part"])),
+        batch_format="pyarrow")

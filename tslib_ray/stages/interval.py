@@ -19,8 +19,14 @@ Scale notes: the shuffle moves ``points + 2 x ranges`` narrow rows once;
 no side is ever materialized on the driver; skew is bounded by bucket
 population (time-bucketed event streams are near-uniform; a hot bucket can
 be split by salting the point side and replicating range replicas per
-salt). The composite key packs (bucket_idx << 32) | offset_us, which is
-exact while ``bucket_width_us < 2**32`` (~71 min) — asserted.
+salt). The within-partition sort key packs (dense_bucket_code << 32) |
+offset_us: bucket ids are re-coded to dense 0..U-1 integers INSIDE each
+partition (U <= partition rows, so the code always fits 31 bits — the
+raw ``ts // bucket_us`` index does NOT once ``bucket_us`` drops below
+~8e5 us on epoch-microsecond data, ADVICE r03 #2), and the offset fits 32
+bits because ``bucket_us < 2**32`` (~71 min) — asserted. Negative
+(pre-1970) timestamps floor-divide correctly and dense codes carry
+negative bucket ids without any bit tricks.
 """
 
 from __future__ import annotations
@@ -43,8 +49,10 @@ def _epoch_us(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     return col.cast(pa.int64()).to_numpy()
 
 
-def _composite(bucket_idx: np.ndarray, offset_us: np.ndarray) -> np.ndarray:
-    return (bucket_idx.astype(np.int64) << np.int64(32)) | \
+def _composite(bucket_code: np.ndarray, offset_us: np.ndarray) -> np.ndarray:
+    """Pack a DENSE partition-local bucket code (< 2**31 by construction)
+    with a within-bucket offset (< 2**32 by the bucket_us assert)."""
+    return (bucket_code.astype(np.int64) << np.int64(32)) | \
         offset_us.astype(np.int64)
 
 
@@ -69,7 +77,7 @@ def interval_count_join(points: "rd.Dataset", ranges: "rd.Dataset",
         bucket = ts // bucket_us
         return pa.table({
             "_bucket": pa.array(bucket),
-            "_key": pa.array(_composite(bucket, ts - bucket * bucket_us)),
+            "_off": pa.array(ts - bucket * bucket_us),
             "_rid": pa.array(np.full(len(b), -1, dtype=np.int64)),
             "_lo": pa.array(np.zeros(len(b), dtype=np.int64)),
             "_hi": pa.array(np.zeros(len(b), dtype=np.int64)),
@@ -90,7 +98,7 @@ def interval_count_join(points: "rd.Dataset", ranges: "rd.Dataset",
         hi_r = np.concatenate([hi, hi[two]])
         return pa.table({
             "_bucket": pa.array(bucket),
-            "_key": pa.array(np.zeros(bucket.size, dtype=np.int64)),
+            "_off": pa.array(np.zeros(bucket.size, dtype=np.int64)),
             "_rid": pa.array(rid_r),
             "_lo": pa.array(lo_r),
             "_hi": pa.array(hi_r),
@@ -105,8 +113,15 @@ def interval_count_join(points: "rd.Dataset", ranges: "rd.Dataset",
         if not is_range.any():
             return pa.table({range_id: pa.array([], type=pa.int64()),
                              out_count: pa.array([], type=pa.int64())})
-        pkey = np.sort(t["_key"].to_numpy()[~is_range])
-        bucket = t["_bucket"].to_numpy()[is_range]
+        all_bucket = t["_bucket"].to_numpy()
+        # dense partition-local bucket codes: always < 2**31 (<= row count),
+        # so the composite pack is exact for ANY bucket_us / epoch / sign
+        uniq = np.unique(all_bucket)
+        code = np.searchsorted(uniq, all_bucket)
+        off = t["_off"].to_numpy()
+        pkey = np.sort(_composite(code[~is_range], off[~is_range]))
+        bucket = all_bucket[is_range]
+        rcode = code[is_range]
         lo = t["_lo"].to_numpy()[is_range]
         hi = t["_hi"].to_numpy()[is_range]
         # clip each replica's bounds to ITS bucket so the two replicas of a
@@ -114,8 +129,8 @@ def interval_count_join(points: "rd.Dataset", ranges: "rd.Dataset",
         b0 = bucket * bucket_us
         lo_c = np.maximum(lo, b0) - b0
         hi_c = np.minimum(hi, b0 + bucket_us) - b0
-        n = (np.searchsorted(pkey, _composite(bucket, hi_c), side="left")
-             - np.searchsorted(pkey, _composite(bucket, lo_c), side="left"))
+        n = (np.searchsorted(pkey, _composite(rcode, hi_c), side="left")
+             - np.searchsorted(pkey, _composite(rcode, lo_c), side="left"))
         n = np.maximum(n, 0)  # degenerate hi <= lo ranges count zero
         return pa.table({range_id: pa.array(rid[is_range]),
                          out_count: pa.array(n.astype(np.int64))})

@@ -110,14 +110,36 @@ def _bloom_positions(keys: np.ndarray, m_bits: int) -> list[np.ndarray]:
             for i in range(3)]
 
 
+def _or_fold_tree(refs: list, words: int, fan_in: int = 8) -> "ray.ObjectRef":
+    """OR-fold a list of object refs (each a ``pa.Table`` with >=1 binary
+    ``bm`` rows) in a ``fan_in``-ary task tree. The partial bitmaps combine
+    worker-side, level by level; the DRIVER only ever holds the refs and
+    fetches the single root table — never the per-block bitmaps
+    (VERDICT r03 item 3: at 1 MiB bitmaps x 1e5 blocks the old driver-side
+    fold was an O(blocks x m_bits/8) hotspot)."""
+
+    @ray.remote
+    def or_fold(*tables: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for t in tables:
+            for buf in t["bm"]:  # ChunkedArray iteration yields scalars
+                acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        return pa.table({"bm": pa.array([acc.tobytes()], type=pa.binary())})
+
+    while len(refs) > 1:
+        refs = [or_fold.remote(*refs[i:i + fan_in])
+                for i in range(0, len(refs), fan_in)]
+    return refs[0]
+
+
 def build_bloom(ds: "rd.Dataset", key: str,
                 m_bits: int = 1 << 23) -> "ray.ObjectRef":
     """Distributed Bloom build: every block OR-folds its keys into a local
     ``m_bits`` bitmap (uint64 words) and emits the bitmap as ONE row; the
-    driver ORs the per-block bitmaps (blocks x m_bits/8 bytes — a tree
-    reduce is the drop-in upgrade when block count x bitmap size outgrows
-    the driver; the bitmap itself is O(1) in corpus size). Returns a
-    ``ray.put`` handle to the final bitmap."""
+    per-block bitmaps combine in a task TREE (:func:`_or_fold_tree`), so
+    the driver fetches exactly one folded bitmap regardless of block count
+    (the bitmap itself is O(1) in corpus size). Returns a ``ray.put``
+    handle to the final uint64-word bitmap."""
     words = m_bits // 64
 
     def partial(b: pa.Table) -> pa.Table:
@@ -128,11 +150,10 @@ def build_bloom(ds: "rd.Dataset", key: str,
                              np.uint64(1) << (pos & np.uint64(63)))
         return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
 
-    parts = ds.select_columns([key]).map_batches(
-        partial, batch_format="pyarrow").take_all()
-    final = np.zeros(words, dtype=np.uint64)
-    for row in parts:
-        final |= np.frombuffer(row["bm"], dtype=np.uint64)
+    refs = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()
+    root = ray.get(_or_fold_tree(refs, words))  # exactly ONE table fetched
+    final = np.frombuffer(root["bm"][0].as_py(), dtype=np.uint64)
     return ray.put(final)
 
 
@@ -169,13 +190,15 @@ def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
             t = t.append_column(c, b[c])
         return t
 
-    import pandas as pd
     right_keys = right.select_columns([right_key]).map_batches(
         lambda b: tag(b, 1, right_key).select(["_k", "_d"]),
         batch_format="pyarrow")
     left_tagged = survivors.map_batches(
         lambda b: tag(b, 0, key), batch_format="pyarrow")
-    # align schemas for the union: right side gets null payload columns
+    # align schemas for the union: right side gets null payload columns.
+    # The whole verify path stays ARROW — a pandas round-trip here would
+    # promote the null-padded int payload columns to float64 and silently
+    # corrupt int64 values above 2^53 (ADVICE r03 #1).
     l_schema = left_tagged.schema()  # Ray Schema wrapper (names + types)
     col_type = dict(zip(l_schema.names, l_schema.types))
     payload_cols = [c for c in l_schema.names if c not in ("_k", "_d")]
@@ -189,19 +212,15 @@ def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
     both = left_tagged.union(right_keys.map_batches(
         pad_right, batch_format="pyarrow"))
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        rk = g.loc[g["_d"] == 1, "_k"].to_numpy()
-        lhs = g[g["_d"] == 0]
-        keep = np.isin(lhs["_k"].to_numpy(), rk)
-        out = lhs.loc[keep, payload_cols]
-        # the union's null padding promoted int payloads to float in the
-        # pandas view; the kept rows are all left-side (no nulls), so cast
-        # back to the left schema's dtypes
-        for c in payload_cols:
-            out[c] = out[c].astype(col_type[c].to_pandas_dtype())
-        return out
+    def verify(t: pa.Table) -> pa.Table:
+        d = t["_d"].to_numpy(zero_copy_only=False)
+        k = t["_k"].to_numpy(zero_copy_only=False)
+        rk = np.unique(k[d == 1])
+        keep = (d == 0) & np.isin(k, rk)
+        return t.filter(pa.array(keep)).select(payload_cols)
 
     from .rollup import _add_part
     parted = _add_part(both, "_k", n_parts)
     return parted.groupby("_part").map_groups(
-        lambda g: verify(g.drop(columns=["_part"])), batch_format="pandas")
+        lambda g: verify(g.drop_columns(["_part"])),
+        batch_format="pyarrow")

@@ -435,7 +435,8 @@ def repetition_score(docs: "rd.Dataset", text_col: str = "text",
 
 def tfidf_topk(docs: "rd.Dataset", text_col: str = "text",
                id_col: str = "doc_id", k: int = 3,
-               n_parts: int = 64) -> "rd.Dataset":
+               n_parts: int = 64, min_df: int = 1,
+               max_broadcast_mb: float = 512.0) -> "rd.Dataset":
     """Per-document top-``k`` terms: ``(doc_id, rank, term, tf, df,
     tfidf)``, ranked INTEGER-EXACTLY by ``(tf DESC, df ASC, term ASC)``
     (most frequent, rarest-in-corpus first) with the float
@@ -453,10 +454,15 @@ def tfidf_topk(docs: "rd.Dataset", text_col: str = "text",
     reader), and the per-doc top-k is then MAP-ONLY — each tokenize batch
     is doc-complete by construction, so no corpus-sized exchange exists
     anywhere. The driver holds only the vocab-sized df arrays (sublinear
-    by Heaps' law; cap with a min_df cut at extreme scale). 64-bit term
-    hash collisions would merge two terms' df counts (probability
-    ~vocab^2/2^65 — the same documented tolerance as the MinHash oracle).
-    ``n_parts`` is kept for API compatibility; no shuffle uses it."""
+    by Heaps' law). ``min_df`` > 1 caps the broadcast at extreme scale by
+    dropping hashes with corpus df < min_df BEFORE ``ray.put`` (sklearn
+    min_df semantics: those terms are excluded from ranking — with Zipfian
+    vocabularies min_df=2 removes the hapax-legomena majority of the
+    table); the post-cut broadcast is asserted under ``max_broadcast_mb``.
+    64-bit term hash collisions would merge two terms' df counts
+    (probability ~vocab^2/2^65 — the same documented tolerance as the
+    MinHash oracle). ``n_parts`` is kept for API compatibility; no shuffle
+    uses it."""
     import ray
 
     def _tf_per_doc(b: pa.Table):
@@ -485,9 +491,18 @@ def tfidf_topk(docs: "rd.Dataset", text_col: str = "text",
 
     from ray.data.aggregate import Sum
     df_tbl = docs.select_columns([id_col, text_col])         .map_batches(df_partial, batch_format="pyarrow")         .groupby("th").aggregate(Sum("df", alias_name="df")).to_pandas()
-    order = np.argsort(df_tbl["th"].to_numpy())
-    th_sorted = ray.put(df_tbl["th"].to_numpy()[order])
-    df_sorted = ray.put(df_tbl["df"].to_numpy()[order])
+    if min_df > 1:
+        df_tbl = df_tbl[df_tbl["df"].to_numpy() >= min_df]
+    th_np = df_tbl["th"].to_numpy()
+    df_np = df_tbl["df"].to_numpy()
+    bcast_mb = (th_np.nbytes + df_np.nbytes) / 2 ** 20
+    assert bcast_mb <= max_broadcast_mb, (
+        f"df broadcast {bcast_mb:.0f} MiB exceeds max_broadcast_mb="
+        f"{max_broadcast_mb}; raise min_df (current {min_df}) to cut the "
+        "long df tail")
+    order = np.argsort(th_np)
+    th_sorted = ray.put(th_np[order])
+    df_sorted = ray.put(df_np[order])
     n_docs = docs.count()
 
     def topk_map(b: pa.Table) -> pa.Table:
@@ -500,8 +515,15 @@ def tfidf_topk(docs: "rd.Dataset", text_col: str = "text",
                              "df": pa.array([], pa.int64()),
                              "tfidf": pa.array([], pa.float64())})
         th_s, df_s = ray.get(th_sorted), ray.get(df_sorted)
-        df = df_s[np.searchsorted(th_s, pd.util.hash_array(
-            terms.astype(object)))]
+        th = pd.util.hash_array(terms.astype(object))
+        pos = np.minimum(np.searchsorted(th_s, th),
+                         max(th_s.size - 1, 0))
+        if th_s.size == 0:
+            found = np.zeros(th.size, dtype=bool)
+        else:
+            found = th_s[pos] == th  # min_df cut drops rare hashes
+        rows, terms, tf = rows[found], terms[found], tf[found]
+        df = df_s[pos[found]]
         g = pd.DataFrame({"_row": rows, "term": terms, "tf": tf, "df": df})
         g = g.sort_values(["_row", "tf", "df", "term"],
                           ascending=[True, False, True, True],
