@@ -116,7 +116,9 @@ def run_benchmarks() -> dict:
                  "text_integrity", "gap_fill_svd", "forecast_per_user",
                  "ngram_jaccard_dedup", "knn_ivf", "lang_id", "fingerprint",
                  "rsc_counterfactual", "rsc_weights", "mrsc_counterfactual",
-                 "incremental_denoise", "media_features"):
+                 "incremental_denoise", "media_features",
+                 # round 4
+                 "tdigest_quantile_1d", "dedup_clusters_stars"):
         timed(name)
 
     value = timings[headline]

@@ -227,6 +227,115 @@ def test_media_features_vectorized_matches_scalar_kernel():
 
 
 # ---------------------------------------------------------------------------
+# t-digest quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_tdigest_rank_accuracy():
+    """Estimates land within the t-digest rank-error bound: tighter at the
+    tails (the k1 scale's point) than in the middle."""
+    from tslib_ray.stages.tdigest import tdigest_from_sorted, tdigest_quantile
+    rng = np.random.default_rng(11)
+    x = np.sort(rng.normal(0, 1, 20_000))
+    m, w = tdigest_from_sorted(x, np.ones(x.size), delta=200.0)
+    assert m.size < 250  # real compression happened
+    assert np.all(np.diff(m) >= 0)
+    assert w.sum() == x.size
+    for q, tol in ((0.5, 0.01), (0.95, 0.005), (0.99, 0.002)):
+        est = tdigest_quantile(m, w, [q])[0]
+        rank = np.searchsorted(x, est) / x.size
+        assert abs(rank - q) <= tol, (q, rank)
+
+
+def test_tdigest_merge_order_independent():
+    from tslib_ray.stages.tdigest import (tdigest_from_sorted,
+                                          tdigest_merge)
+    rng = np.random.default_rng(5)
+    a = np.sort(rng.normal(0, 1, 3000))
+    b = np.sort(rng.exponential(2, 5000))
+    da = tdigest_from_sorted(a, np.ones(a.size), 100.0)
+    db = tdigest_from_sorted(b, np.ones(b.size), 100.0)
+    m1, w1 = tdigest_merge(*da, *db, 100.0)
+    m2, w2 = tdigest_merge(*db, *da, 100.0)
+    assert np.array_equal(m1, m2) and np.array_equal(w1, w2)
+    assert w1.sum() == a.size + b.size
+
+
+def test_tdigest_vectorized_multigroup_matches_single_group_kernel():
+    """The all-groups-at-once partition path must reproduce the sequential
+    per-group kernels bit-for-bit (the oracle-parity contract)."""
+    from tslib_ray.stages.tdigest import (_cluster_all_groups,
+                                          _quantiles_all_groups,
+                                          tdigest_from_sorted,
+                                          tdigest_quantile)
+    rng = np.random.default_rng(2)
+    gid, xs = [], []
+    for g, n in enumerate(rng.integers(1, 800, 12)):
+        gid.append(np.full(int(n), g, dtype=np.int64))
+        xs.append(np.sort(rng.normal(g, 1 + g % 3, int(n))))
+    gid = np.concatenate(gid)
+    x = np.concatenate(xs)
+    w = np.ones(x.size)
+    cgid, cm, cw = _cluster_all_groups(gid, x, w, 100.0)
+    ggid, est = _quantiles_all_groups(cgid, cm, cw,
+                                      np.array([0.5, 0.95, 0.99]))
+    for g, xg in enumerate(xs):
+        m_ref, w_ref = tdigest_from_sorted(xg, np.ones(xg.size), 100.0)
+        sel = cgid == g
+        assert np.array_equal(cm[sel], m_ref)
+        assert np.array_equal(cw[sel], w_ref)
+        p_ref = tdigest_quantile(m_ref, w_ref, (0.5, 0.95, 0.99))
+        assert np.array_equal(est[:, g], p_ref)
+
+
+def test_tdigest_sketch_rows_and_cascade():
+    """tdigest_tier rows -> quantiles_from_sketch equals the direct raw
+    path exactly (same digest); cascading 1m -> 1h stays inside the rank
+    bound of the direct 1h digest."""
+    from tslib_ray.stages.tdigest import (tdigest_cascade, tdigest_tier,
+                                          tdigest_quantiles_from_sketch,
+                                          tdigest_quantiles_per_key)
+    rng = np.random.default_rng(9)
+    n = 30_000
+    ts = (np.datetime64("2026-01-01", "us")
+          + rng.integers(0, 6 * 3600, n).astype("timedelta64[s]"))
+    t = pa.table({"k": pa.array(rng.integers(0, 3, n)),
+                  "ts": pa.array(ts.astype("datetime64[us]")),
+                  "v": pa.array(rng.normal(10, 4, n))})
+    ds = rd.from_arrow(t)
+    direct = tdigest_quantiles_per_key(ds, "k", "ts", "v", "1h",
+                                       n_parts=5).to_pandas() \
+        .sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    sk_1m = tdigest_tier(ds, "k", "ts", "v", "1m", n_parts=5)
+    sk_1h_direct = tdigest_tier(ds, "k", "ts", "v", "1h", n_parts=5)
+    from_sketch = tdigest_quantiles_from_sketch(sk_1h_direct, "k",
+                                                n_parts=5).to_pandas() \
+        .sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(direct, from_sketch)
+    cascaded = tdigest_quantiles_from_sketch(
+        tdigest_cascade(sk_1m, "k", "1h", n_parts=5), "k",
+        n_parts=5).to_pandas() \
+        .sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    assert len(cascaded) == len(direct)
+    # composed approximation: bounded drift, not bit-equality
+    for c in ("p50", "p95", "p99"):
+        assert np.allclose(cascaded[c], direct[c], rtol=0.05, atol=0.6)
+
+
+def test_tdigest_weight_conservation_in_sketch():
+    from tslib_ray.stages.tdigest import tdigest_tier
+    rng = np.random.default_rng(4)
+    n = 5000
+    ts = (np.datetime64("2026-01-01", "us")
+          + rng.integers(0, 3600, n).astype("timedelta64[s]"))
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 4, n)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "v": pa.array(rng.normal(0, 1, n))}))
+    sk = tdigest_tier(ds, "k", "ts", "v", "1h", n_parts=3).to_pandas()
+    assert sk["weight"].sum() == n
+
+
+# ---------------------------------------------------------------------------
 # registry growth guard (VERDICT r03 item 8)
 # ---------------------------------------------------------------------------
 

@@ -217,6 +217,27 @@ def gapfill_svd_values(sf_dir: str = DRIVER_SF_DIR, k: int = 4) -> str:
     return values_sql(out)
 
 
+def tdigest_values(sf_dir: str = DRIVER_SF_DIR, delta: float = 100.0) -> str:
+    """Sequential t-digest per (event_type, day) over the events fixture,
+    one group at a time through the pure single-group kernels — the
+    distributed path (one shuffle, all-groups-at-once lexsort/reduceat)
+    must reproduce these estimates bit-for-bit after r6."""
+    from ..stages.tdigest import tdigest_from_sorted, tdigest_quantile
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["bucket_ts"] = ev["ts"].dt.floor("D")
+    rows = []
+    for (et, b), g in ev.groupby(["event_type", "bucket_ts"], sort=True):
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        m, w = tdigest_from_sorted(v, np.ones(v.size), delta)
+        p = r6(tdigest_quantile(m, w, (0.5, 0.95, 0.99)))
+        rows.append((et, b, p[0], p[1], p[2]))
+    out = pd.DataFrame(rows, columns=["event_type", "bucket_ts",
+                                      "p50", "p95", "p99"])
+    out["bucket_ts"] = out["bucket_ts"].astype("datetime64[us]")
+    return values_sql(out)
+
+
 def lttb_values(sf_dir: str = DRIVER_SF_DIR, n_out: int = 16) -> str:
     """Sequential LTTB over the whole events fixture, one series at a time —
     the distributed path must reproduce these rows exactly (the kernel is

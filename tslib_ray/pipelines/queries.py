@@ -3176,6 +3176,41 @@ _BLOOM_SEMIJOIN_SQL = """
     GROUP BY 1"""
 
 
+def q_tdigest_quantile_1d(sf_dir: str):
+    """Mergeable t-digest p50/p95/p99 of value per (event_type, day)
+    (stages/tdigest.py: one narrow hash shuffle, every group of a
+    partition digested + estimated in a single lexsort/reduceat pass).
+    The rank-accurate sketch companion to the exact quantiles_per_key —
+    unlike exact quantiles, the digest rows compose up the tier cascade
+    (tdigest_cascade), closing the gap documented at rollup.py's
+    quantiles_per_key. Deterministic construction, so the sequential
+    VALUES oracle hash-matches."""
+    from ..stages.tdigest import tdigest_quantiles_per_key
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    out = tdigest_quantiles_per_key(ds, "event_type", "ts", "value", "1d",
+                                    delta=100.0)
+    return _round6(out, ["p50", "p95", "p99"])
+
+
+def q_dedup_clusters_stars(sf_dir: str):
+    """dedup_clusters computed by the Kiveris large-star/small-star CC
+    (stages/graph.py::connected_components_stars) instead of hash-min:
+    same fixpoint (same oracle), O(log n) rounds on chained dup graphs
+    where hash-min needs O(diameter)."""
+    from ..stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+    from ..stages.graph import connected_components_stars
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, max_mates=64)
+    edges = verify_pairs_jaccard(docs, pairs, threshold=0.8,
+                                 return_edges=True)
+    labels = connected_components_stars(
+        edges, docs.select_columns(["doc_id"]),
+        src="doc_id", dst="cand_id", node_col="doc_id")
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_root"]),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3304,6 +3339,13 @@ QUERIES: dict = {
                        lambda: __import__(
                            "tslib_ray.pipelines.oracles",
                            fromlist=["media_values"]).media_values()),
+    "tdigest_quantile_1d": (q_tdigest_quantile_1d,
+                            lambda: __import__(
+                                "tslib_ray.pipelines.oracles",
+                                fromlist=["tdigest_values"]
+                            ).tdigest_values()),
+    "dedup_clusters_stars": (q_dedup_clusters_stars,
+                             _dedup_clusters_sql()),
 }
 
 # ---------------------------------------------------------------------------
@@ -3316,6 +3358,8 @@ QUERIES: dict = {
 # ---------------------------------------------------------------------------
 
 _ROUND4_FRONT = [
+    # new in round 4 (never verified)
+    "tdigest_quantile_1d", "dedup_clusters_stars",
     # 41 never driver-verified (added in round 3)
     "rsc_weights", "semijoin_top_users", "session_assign", "pivot_role_wide",
     "melt_lineitem", "autocorr_lag1", "cumsum_per_user", "stratified_sample",
