@@ -118,7 +118,8 @@ def run_benchmarks() -> dict:
                  "rsc_counterfactual", "rsc_weights", "mrsc_counterfactual",
                  "incremental_denoise", "media_features",
                  # round 4
-                 "tdigest_quantile_1d", "dedup_clusters_stars"):
+                 "tdigest_quantile_1d", "tdigest_cascade_1h",
+                 "dedup_clusters_stars"):
         timed(name)
 
     value = timings[headline]

@@ -42,7 +42,8 @@ SQL_QUERIES = sorted(entrypoint.oracle_sql().keys())
 # queries whose oracle is a VALUES literal built from the driver's sf0.01
 # fixtures — must be evaluated at that scale locally too
 _SF_MID_QUERIES = {"gap_fill_svd", "forecast_per_user", "incremental_denoise",
-                   "lttb_downsample", "tdigest_quantile_1d"}
+                   "lttb_downsample", "tdigest_quantile_1d",
+                   "tdigest_cascade_1h"}
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)

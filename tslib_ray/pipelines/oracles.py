@@ -238,6 +238,37 @@ def tdigest_values(sf_dir: str = DRIVER_SF_DIR, delta: float = 100.0) -> str:
     return values_sql(out)
 
 
+def tdigest_cascade_values(sf_dir: str = DRIVER_SF_DIR,
+                           delta: float = 100.0) -> str:
+    """Sequential 1m-digest -> 1h-merge cascade per event_type: build every
+    (type, minute) digest from sorted raw values, then merge each hour's
+    centroid multiset sorted by (mean, weight) — the same pure kernels and
+    float-op order as the distributed cascade, so the estimates match
+    bit-for-bit after r6."""
+    from ..stages.tdigest import tdigest_from_sorted, tdigest_quantile
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["b1m"] = ev["ts"].dt.floor("min")
+    rows = []
+    for et, g_et in ev.groupby("event_type", sort=True):
+        hours: dict = {}
+        for b, g in g_et.groupby("b1m", sort=True):
+            v = np.sort(g["value"].to_numpy(dtype=np.float64))
+            m, w = tdigest_from_sorted(v, np.ones(v.size), delta)
+            hours.setdefault(pd.Timestamp(b).floor("h"), []).append((m, w))
+        for b1h, digs in sorted(hours.items()):
+            m = np.concatenate([d[0] for d in digs])
+            w = np.concatenate([d[1] for d in digs])
+            order = np.lexsort((w, m))
+            mm, mw = tdigest_from_sorted(m[order], w[order], delta)
+            p = r6(tdigest_quantile(mm, mw, (0.5, 0.95, 0.99)))
+            rows.append((et, b1h, p[0], p[1], p[2]))
+    out = pd.DataFrame(rows, columns=["event_type", "bucket_ts",
+                                      "p50", "p95", "p99"])
+    out["bucket_ts"] = out["bucket_ts"].astype("datetime64[us]")
+    return values_sql(out)
+
+
 def lttb_values(sf_dir: str = DRIVER_SF_DIR, n_out: int = 16) -> str:
     """Sequential LTTB over the whole events fixture, one series at a time —
     the distributed path must reproduce these rows exactly (the kernel is

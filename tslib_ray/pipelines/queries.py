@@ -3192,6 +3192,25 @@ def q_tdigest_quantile_1d(sf_dir: str):
     return _round6(out, ["p50", "p95", "p99"])
 
 
+def q_tdigest_cascade_1h(sf_dir: str):
+    """1m t-digest sketch rows cascaded to 1h WITHOUT re-reading raw data
+    (stages/tdigest.py::tdigest_cascade: re-floor bucket_ts, one narrow
+    centroid exchange, vectorized re-cluster), then quantile estimates
+    from the merged digests. The whole chain is deterministic (clustering
+    is a pure function of each group's sorted centroid multiset), so even
+    the CASCADED sketch is hash-verified against a sequential oracle —
+    the 100-TB serving path where coarser tiers are maintained from finer
+    sketches instead of raw points."""
+    from ..stages.tdigest import (tdigest_cascade,
+                                  tdigest_quantiles_from_sketch,
+                                  tdigest_tier)
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    sk_1m = tdigest_tier(ds, "event_type", "ts", "value", "1m", delta=100.0)
+    sk_1h = tdigest_cascade(sk_1m, "event_type", "1h", delta=100.0)
+    out = tdigest_quantiles_from_sketch(sk_1h, "event_type")
+    return _round6(out, ["p50", "p95", "p99"])
+
+
 def q_dedup_clusters_stars(sf_dir: str):
     """dedup_clusters computed by the Kiveris large-star/small-star CC
     (stages/graph.py::connected_components_stars) instead of hash-min:
@@ -3344,6 +3363,11 @@ QUERIES: dict = {
                                 "tslib_ray.pipelines.oracles",
                                 fromlist=["tdigest_values"]
                             ).tdigest_values()),
+    "tdigest_cascade_1h": (q_tdigest_cascade_1h,
+                           lambda: __import__(
+                               "tslib_ray.pipelines.oracles",
+                               fromlist=["tdigest_cascade_values"]
+                           ).tdigest_cascade_values()),
     "dedup_clusters_stars": (q_dedup_clusters_stars,
                              _dedup_clusters_sql()),
 }
@@ -3359,7 +3383,7 @@ QUERIES: dict = {
 
 _ROUND4_FRONT = [
     # new in round 4 (never verified)
-    "tdigest_quantile_1d", "dedup_clusters_stars",
+    "tdigest_quantile_1d", "tdigest_cascade_1h", "dedup_clusters_stars",
     # 41 never driver-verified (added in round 3)
     "rsc_weights", "semijoin_top_users", "session_assign", "pivot_role_wide",
     "melt_lineitem", "autocorr_lag1", "cumsum_per_user", "stratified_sample",

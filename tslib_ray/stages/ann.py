@@ -142,16 +142,23 @@ def train_centroids(embeddings: "rd.Dataset", n_centroids: int = 16,
 
         part = narrow.map_batches(partial_sums,
                                   batch_format="pyarrow").to_pandas()
-        # deterministic merge: sort the tiny partial table by value, then
-        # accumulate per centroid in that order
-        part["_key"] = part["s"].map(lambda v: tuple(np.asarray(v).tolist()))
-        part = part.sort_values(["c", "cnt", "_key"], kind="mergesort")
+        if len(part) == 0:
+            continue
+        # deterministic merge, vectorized over the tiny (k x blocks) table:
+        # lexsort by (centroid, count, coefficients) pins the accumulation
+        # order, then one reduceat per axis sums each centroid's partials
+        # sequentially in that order (bit-identical to the old per-group
+        # loop, without the tuple-key Python path)
+        s_mat = np.stack(part["s"].to_numpy())
+        c_arr = part["c"].to_numpy().astype(np.int64)
+        cnt = part["cnt"].to_numpy().astype(np.int64)
+        order = np.lexsort(tuple(s_mat.T[::-1]) + (cnt, c_arr))
+        c_s, cnt_s, s_s = c_arr[order], cnt[order], s_mat[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        sums = np.add.reduceat(s_s, starts, axis=0)
+        tot = np.add.reduceat(cnt_s, starts)
         new_cent = cent.copy()
-        for c_idx, g in part.groupby("c", sort=True):
-            total = np.zeros(cent.shape[1])
-            for v in g["s"]:
-                total += np.asarray(v)
-            new_cent[int(c_idx)] = total / g["cnt"].sum()
+        new_cent[c_s[starts]] = sums / tot[:, None]
         cent = _normalize_rows(new_cent)
     return cent
 
