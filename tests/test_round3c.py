@@ -150,7 +150,10 @@ import pytest
 def _cc_impl(name):
     from tslib_ray.stages import graph
     if name == "dataset":
-        return lambda e, n: graph.connected_components(e, n, n_parts=4)
+        # small_graph_rows=0 forces the distributed rounds (round 4 added a
+        # single-task fast path below that threshold — tested separately)
+        return lambda e, n: graph.connected_components(
+            e, n, n_parts=4, small_graph_rows=0)
     return lambda e, n: graph.connected_components_actors(e, n, n_shards=3)
 
 

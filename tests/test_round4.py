@@ -96,12 +96,14 @@ def test_interval_count_subsecond_buckets(base_ts):
 # connected components: guards + large-star/small-star
 # ---------------------------------------------------------------------------
 
-def test_cc_missing_endpoint_raises():
+@pytest.mark.parametrize("small_rows", [0, 10 ** 6])
+def test_cc_missing_endpoint_raises(small_rows):
     from tslib_ray.stages.graph import connected_components
     edges = rd.from_items([{"src": 1, "dst": 99}])
     nodes = rd.from_items([{"node": 1}])  # 99 absent
     with pytest.raises(Exception, match="missing from"):
-        connected_components(edges, nodes).to_pandas()
+        connected_components(edges, nodes,
+                             small_graph_rows=small_rows).to_pandas()
 
 
 def test_cc_actor_missing_endpoint_raises():
@@ -119,43 +121,67 @@ def test_cc_unconverged_raises():
         {"src": np.arange(n - 1), "dst": np.arange(1, n)}))
     nodes = rd.from_pandas(pd.DataFrame({"node": np.arange(n)}))
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, nodes, max_rounds=3).to_pandas()
+        connected_components(edges, nodes, max_rounds=3,
+                             small_graph_rows=0).to_pandas()
 
 
 def test_stars_path_graph_log_rounds():
     """Kiveris large-star/small-star: a depth-1000 path converges (hash-min
-    would need 1000 rounds; max_rounds=60 bounds this run to O(log n))."""
+    would need 1000 rounds; max_rounds=60 bounds this run to O(log n)).
+    small_graph_rows=0 forces the distributed star rounds."""
     from tslib_ray.stages.graph import connected_components_stars
     n = 1000
     edges = rd.from_pandas(pd.DataFrame(
         {"src": np.arange(n - 1), "dst": np.arange(1, n)}))
     nodes = rd.from_pandas(pd.DataFrame({"node": np.arange(n)}))
-    out = connected_components_stars(edges, nodes, max_rounds=60).to_pandas()
+    out = connected_components_stars(edges, nodes, max_rounds=60,
+                                     small_graph_rows=0).to_pandas()
     assert len(out) == n
     assert (out["label"] == 0).all()
 
 
 def test_stars_matches_hashmin_random_graph():
+    """Distributed star rounds == distributed hash-min == the single-task
+    fast path (the round-4 small-graph gate), on the same random graph."""
     from tslib_ray.stages.graph import (connected_components,
                                         connected_components_stars)
     rng = np.random.default_rng(7)
     e = pd.DataFrame({"src": rng.integers(0, 300, 400),
                       "dst": rng.integers(0, 300, 400)})
     nodes = pd.DataFrame({"node": np.arange(300)})
-    a = connected_components(rd.from_pandas(e), rd.from_pandas(nodes)) \
+    a = connected_components(rd.from_pandas(e), rd.from_pandas(nodes),
+                             small_graph_rows=0) \
         .to_pandas().sort_values("node").reset_index(drop=True)
-    b = connected_components_stars(rd.from_pandas(e), rd.from_pandas(nodes)) \
+    b = connected_components_stars(rd.from_pandas(e), rd.from_pandas(nodes),
+                                   small_graph_rows=0) \
         .to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+    c = connected_components(rd.from_pandas(e), rd.from_pandas(nodes)) \
+        .to_pandas().sort_values("node").reset_index(drop=True)  # fast path
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_stars_isolated_nodes_and_self_loops():
     from tslib_ray.stages.graph import connected_components_stars
-    edges = rd.from_items([{"src": 5, "dst": 6}, {"src": 9, "dst": 9}])
-    nodes = rd.from_items([{"node": k} for k in (1, 5, 6, 9)])
-    out = connected_components_stars(edges, nodes).to_pandas() \
-        .sort_values("node")
-    assert out["label"].tolist() == [1, 5, 5, 9]
+    for small in (0, 10 ** 6):
+        edges = rd.from_items([{"src": 5, "dst": 6}, {"src": 9, "dst": 9}])
+        nodes = rd.from_items([{"node": k} for k in (1, 5, 6, 9)])
+        out = connected_components_stars(
+            edges, nodes, small_graph_rows=small).to_pandas() \
+            .sort_values("node")
+        assert out["label"].tolist() == [1, 5, 5, 9]
+
+
+def test_small_cc_fast_path_deep_chain():
+    """The single-task path handles a deep chain in O(log n) numpy rounds
+    (pointer doubling), so the gate never trades correctness for speed."""
+    from tslib_ray.stages.graph import connected_components
+    n = 5000
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": np.arange(n - 1), "dst": np.arange(1, n)}))
+    nodes = rd.from_pandas(pd.DataFrame({"node": np.arange(n)}))
+    out = connected_components(edges, nodes).to_pandas()
+    assert len(out) == n and (out["label"] == 0).all()
 
 
 # ---------------------------------------------------------------------------

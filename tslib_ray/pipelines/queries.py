@@ -242,12 +242,48 @@ def q_quantile_value_1h(sf_dir: str):
     return _round6(out, ["p50", "p95", "p99"])
 
 
-_QUANTILE_SQL = """
-    SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
-           FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
-           FLOOR(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
-           FLOOR(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
-    FROM events GROUP BY 1, 2"""
+def _qcont_cols(val: str, q: float, tag: str) -> str:
+    """Explicit quantile_cont interpolation pieces over pre-ranked rows
+    (``rk`` 0-based by ``val``, ``n`` the window count): lo/hi bracketing
+    values + the fractional position. Spelled out instead of DuckDB's
+    ``quantile_cont`` so BOTH sides evaluate the IDENTICAL float-op
+    sequence ``lo + (hi - lo) * frac`` with ``frac = (n-1)*q -
+    FLOOR((n-1)*q)`` — quantile_cont's internal lerp rounds differently in
+    the last ulp, which flips the 6dp rounding on knife-edge groups
+    (observed: gap_quantiles user 24 at sf0.01)."""
+    qd = f"CAST({q} AS DOUBLE)"
+    lo = f"CAST(FLOOR((n-1)*{qd}) AS BIGINT)"
+    return (f"MAX(CASE WHEN rk = {lo} THEN {val} END) AS lo{tag}, "
+            f"MAX(CASE WHEN rk = LEAST({lo} + 1, n-1) THEN {val} END) "
+            f"AS hi{tag}, "
+            f"MAX((n-1)*{qd} - FLOOR((n-1)*{qd})) AS f{tag}")
+
+
+def _qcont_out(tag: str, name: str) -> str:
+    return (f"FLOOR((lo{tag} + (hi{tag} - lo{tag}) * f{tag}) "
+            f"* 1000000 + 0.5) / 1000000 AS {name}")
+
+
+_QUANTILE_SQL = f"""
+    WITH r AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+               row_number() OVER (PARTITION BY user_id,
+                                  date_trunc('hour', ts)
+                                  ORDER BY value) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY user_id,
+                              date_trunc('hour', ts)) AS n
+        FROM events),
+    a AS (
+        SELECT user_id, bucket_ts,
+               {_qcont_cols('value', 0.5, '50')},
+               {_qcont_cols('value', 0.95, '95')},
+               {_qcont_cols('value', 0.99, '99')}
+        FROM r GROUP BY user_id, bucket_ts)
+    SELECT user_id, bucket_ts,
+           {_qcont_out('50', 'p50')},
+           {_qcont_out('95', 'p95')},
+           {_qcont_out('99', 'p99')}
+    FROM a"""
 
 
 def q_token_count(sf_dir: str):
@@ -2496,17 +2532,28 @@ def q_gap_quantiles(sf_dir: str):
         lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
 
 
-_GAP_QUANTILES_SQL = """
+_GAP_QUANTILES_SQL = f"""
     WITH d AS (
         SELECT user_id,
                CAST(epoch_us(ts) - lag(epoch_us(ts))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     AS DOUBLE) / 1000000.0 AS gap
-        FROM events)
-    SELECT user_id, COUNT(gap) AS n_gaps,
-           FLOOR(quantile_cont(gap, 0.5) * 1000000 + 0.5) / 1000000 AS p50_s,
-           FLOOR(quantile_cont(gap, 0.95) * 1000000 + 0.5) / 1000000 AS p95_s
-    FROM d GROUP BY user_id HAVING COUNT(gap) > 0"""
+        FROM events),
+    r AS (
+        SELECT user_id, gap,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY gap) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM d WHERE gap IS NOT NULL),
+    a AS (
+        SELECT user_id, MAX(n) AS n_gaps,
+               {_qcont_cols('gap', 0.5, '50')},
+               {_qcont_cols('gap', 0.95, '95')}
+        FROM r GROUP BY user_id)
+    SELECT user_id, n_gaps,
+           {_qcont_out('50', 'p50_s')},
+           {_qcont_out('95', 'p95_s')}
+    FROM a"""
 
 
 def q_embedding_centroids(sf_dir: str):
@@ -2913,17 +2960,33 @@ def q_mad_per_user(sf_dir: str):
         lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
 
 
-_MAD_SQL = """
-    WITH m AS (
-        SELECT user_id, COUNT(*) AS n,
-               quantile_cont(value, 0.5) AS med
-        FROM events GROUP BY user_id)
-    SELECT e.user_id, m.n,
-           FLOOR(m.med * 1000000 + 0.5) / 1000000 AS median,
-           FLOOR(quantile_cont(abs(e.value - m.med), 0.5)
-                 * 1000000 + 0.5) / 1000000 AS mad
-    FROM events e JOIN m ON e.user_id = m.user_id
-    GROUP BY e.user_id, m.n, m.med"""
+_MAD_SQL = f"""
+    WITH r1 AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+    m AS (
+        SELECT user_id, MAX(n) AS n,
+               {_qcont_cols('value', 0.5, '50')}
+        FROM r1 GROUP BY user_id),
+    m2 AS (
+        SELECT user_id, n, lo50 + (hi50 - lo50) * f50 AS med FROM m),
+    r2 AS (
+        SELECT e.user_id, abs(e.value - m2.med) AS av, m2.n AS n,
+               m2.med AS med,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY abs(e.value - m2.med)) - 1 AS rk
+        FROM events e JOIN m2 ON e.user_id = m2.user_id),
+    a AS (
+        SELECT user_id, MAX(n) AS n, MAX(med) AS med,
+               {_qcont_cols('av', 0.5, '50')}
+        FROM r2 GROUP BY user_id)
+    SELECT user_id, n,
+           FLOOR(med * 1000000 + 0.5) / 1000000 AS median,
+           {_qcont_out('50', 'mad')}
+    FROM a"""
 
 
 def q_transition_counts(sf_dir: str):

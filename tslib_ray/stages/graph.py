@@ -35,10 +35,63 @@ import ray.data as rd
 from .rollup import _add_part
 
 
+def _small_cc_task(node_refs: list, edge_refs: list, node_col: str,
+                   u_col: str, v_col: str):
+    """Whole-graph CC in ONE Ray task (NOT on the driver): gated by the
+    measured row count, for graphs that fit a single worker's heap — at
+    sf-scale inputs the iterative rounds are pure fixed overhead (each
+    round = 2 keyed exchanges + a probe, ~2 s of Dataset ops for a
+    500-node dup graph). Pointer-doubling min-propagation: O(log n)
+    rounds of vectorized numpy, no per-edge Python."""
+    import ray
+
+    @ray.remote
+    def run(node_col: str, u_col: str, v_col: str, n_nodes: int,
+            *tables: pa.Table) -> pa.Table:
+        ntabs, etabs = tables[:n_nodes], tables[n_nodes:]
+        nodes = np.unique(np.concatenate(
+            [t[node_col].cast(pa.int64()).to_numpy() for t in ntabs])
+            if ntabs else [np.empty(0, dtype=np.int64)])
+        if etabs:
+            u = np.concatenate([t[u_col].cast(pa.int64()).to_numpy()
+                                for t in etabs])
+            v = np.concatenate([t[v_col].cast(pa.int64()).to_numpy()
+                                for t in etabs])
+        else:
+            u = v = np.empty(0, dtype=np.int64)
+        iu = np.clip(np.searchsorted(nodes, u), 0,
+                     max(nodes.size - 1, 0))
+        iv = np.clip(np.searchsorted(nodes, v), 0,
+                     max(nodes.size - 1, 0))
+        if nodes.size == 0 and u.size:
+            raise ValueError("edge endpoints missing from `nodes`")
+        bad = np.concatenate([u[nodes[iu] != u], v[nodes[iv] != v]])
+        if bad.size:
+            raise ValueError(
+                f"edge endpoints missing from `nodes`: "
+                f"{np.unique(bad)[:5].tolist()}")
+        lab = np.arange(nodes.size, dtype=np.int64)
+        while True:
+            prev = lab
+            lab = lab.copy()
+            np.minimum.at(lab, iu, prev[iv])
+            np.minimum.at(lab, iv, prev[iu])
+            lab = np.minimum(lab, lab[lab])   # pointer doubling
+            lab = np.minimum(lab, lab[lab])
+            if np.array_equal(lab, prev):
+                break
+        return pa.table({"node": pa.array(nodes),
+                         "label": pa.array(nodes[lab])})
+
+    return run.remote(node_col, u_col, v_col, len(node_refs),
+                      *node_refs, *edge_refs)
+
+
 def connected_components(edges: "rd.Dataset", nodes: "rd.Dataset",
                          src: str = "src", dst: str = "dst",
                          node_col: str = "node", max_rounds: int = 30,
-                         n_parts: int | None = None) -> "rd.Dataset":
+                         n_parts: int | None = None,
+                         small_graph_rows: int = 200_000) -> "rd.Dataset":
     """``(node, label)`` where ``label`` is the smallest node id in the
     node's component. ``edges`` may be directed pairs; they are treated as
     undirected. Isolated nodes keep ``label = node``.
@@ -47,7 +100,10 @@ def connected_components(edges: "rd.Dataset", nodes: "rd.Dataset",
     [4, 64]): every round pays two keyed exchanges, so on a small graph a
     fixed 32-way fan-out is pure per-task overhead, while a huge graph
     needs width — sized from the materialized edge/node counts (free
-    metadata after the materialize)."""
+    metadata after the materialize). Below ``small_graph_rows`` total
+    state rows the whole solve runs in ONE worker task instead
+    (:func:`_small_cc_task`) — same output, none of the per-round Dataset
+    fixed costs; the distributed rounds are the >heap-scale path."""
 
     def undirect(b: pa.Table) -> pa.Table:
         u = b[src].cast(pa.int64()).to_numpy()
@@ -62,9 +118,14 @@ def connected_components(edges: "rd.Dataset", nodes: "rd.Dataset",
             "node": b[node_col].cast(pa.int64()),
             "label": b[node_col].cast(pa.int64())}),
         batch_format="pyarrow").materialize()
+    total_rows = und.count() + labels.count()
+    if total_rows <= small_graph_rows:
+        ref = _small_cc_task(nodes.select_columns([node_col])
+                             .to_arrow_refs(),
+                             und.to_arrow_refs(), node_col, "u", "v")
+        return rd.from_arrow_refs([ref])
     if n_parts is None:
-        n_parts = int(min(64, max(4, (und.count() + labels.count())
-                                  // 200_000)))
+        n_parts = int(min(64, max(4, total_rows // 200_000)))
     from ray.data.aggregate import Sum
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
@@ -330,7 +391,9 @@ def _dedup_pairs_part(t: pa.Table) -> pa.Table:
 def connected_components_stars(edges: "rd.Dataset", nodes: "rd.Dataset",
                                src: str = "src", dst: str = "dst",
                                node_col: str = "node", max_rounds: int = 60,
-                               n_parts: int | None = None) -> "rd.Dataset":
+                               n_parts: int | None = None,
+                               small_graph_rows: int = 200_000
+                               ) -> "rd.Dataset":
     """``(node, label)`` with ``label`` = component minimum, via alternating
     large-star / small-star rounds. Same output contract as
     :func:`connected_components` (tested equal); use this when the dup
@@ -403,6 +466,13 @@ def connected_components_stars(edges: "rd.Dataset", nodes: "rd.Dataset",
             batch_format="pyarrow")
 
     e = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    if e.count() <= small_graph_rows:
+        # same single-task escape hatch as connected_components — the
+        # star rounds only pay off past one worker's heap
+        ref = _small_cc_task(nodes.select_columns([node_col])
+                             .to_arrow_refs(),
+                             e.to_arrow_refs(), node_col, "u", "v")
+        return rd.from_arrow_refs([ref])
     if n_parts is None:
         n_parts = int(min(64, max(4, e.count() // 200_000)))
     from ray.data.aggregate import Count, Sum

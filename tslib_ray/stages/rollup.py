@@ -466,10 +466,16 @@ def quantiles_per_key(ds: "rd.Dataset", key: str, ts_col: str,
         cols = {key: pc.take(uniques, pa.array(c[starts])),
                 "bucket_ts": pa.array(b[starts], type=pa.timestamp("us"))}
         for q, nm in zip(qs, names):
-            pos = starts + q * (lens - 1)
+            # frac computed SEGMENT-LOCALLY: adding the (possibly large)
+            # segment start before taking the fractional part truncates
+            # low mantissa bits and shifts the interpolation by an ulp —
+            # enough to flip the 6dp rounding against the oracle
+            pos = q * (lens - 1)
             lo = np.floor(pos).astype(np.int64)
-            hi = np.ceil(pos).astype(np.int64)
-            cols[nm] = pa.array(v[lo] + (v[hi] - v[lo]) * (pos - lo),
+            frac = pos - lo
+            i = starts + lo
+            hi = np.minimum(i + 1, starts + lens - 1)
+            cols[nm] = pa.array(v[i] + (v[hi] - v[i]) * frac,
                                 type=pa.float64())
         return pa.table(cols)
 
