@@ -362,6 +362,83 @@ def test_tdigest_weight_conservation_in_sketch():
 
 
 # ---------------------------------------------------------------------------
+# quantile-oracle expression parity (the knife-edge guard)
+# ---------------------------------------------------------------------------
+
+def test_qcont_sql_matches_numpy_expression_exactly():
+    """The explicit-interpolation SQL (queries.py::_qcont_cols) must equal
+    the numpy expression lo + (hi - lo) * frac BIT-FOR-BIT — DuckDB's
+    quantile_cont lerps differently in the last ulp, which flipped the 6dp
+    rounding of gap_quantiles at sf0.01 (round 4). Fuzzed, zero tolerance."""
+    import duckdb
+    from tslib_ray.pipelines.queries import _qcont_cols, _qcont_out
+    rng = np.random.default_rng(21)
+    rows = []
+    for g in range(40):
+        n = int(rng.integers(1, 60))
+        for x in rng.normal(0, 1e5, n):
+            rows.append((g, float(x)))
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    con = duckdb.connect()
+    con.register("src", df)
+    sql = f"""
+        WITH r AS (
+            SELECT k, v,
+                   row_number() OVER (PARTITION BY k ORDER BY v) - 1 AS rk,
+                   COUNT(*) OVER (PARTITION BY k) AS n
+            FROM src),
+        a AS (SELECT k, {_qcont_cols('v', 0.5, '50')},
+                        {_qcont_cols('v', 0.95, '95')}
+              FROM r GROUP BY k)
+        SELECT k, {_qcont_out('50', 'p50')}, {_qcont_out('95', 'p95')}
+        FROM a ORDER BY k"""
+    want = con.sql(sql).df()
+    for g, sub in df.groupby("k"):
+        v = np.sort(sub["v"].to_numpy())
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            pos = q * (v.size - 1)
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            hi = min(lo + 1, v.size - 1)
+            est = v[lo] + (v[hi] - v[lo]) * frac
+            est = np.floor(est * 1e6 + 0.5) / 1e6
+            assert est == want.loc[want["k"] == g, col].iloc[0], (g, col)
+
+
+# ---------------------------------------------------------------------------
+# edge cases
+# ---------------------------------------------------------------------------
+
+def test_tdigest_stage_empty_input():
+    """Zero-row input keeps the OUTPUT SCHEMA visible (Dataset.schema());
+    Ray's to_pandas() drops columns for ANY zero-row Dataset, so the
+    contract is checked at the Arrow level."""
+    from tslib_ray.stages.tdigest import tdigest_quantiles_per_key
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "v": pa.array([], type=pa.float64())}))
+    out = tdigest_quantiles_per_key(ds, "k", "ts", "v", "1h")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "bucket_ts", "p50", "p95",
+                                       "p99"}
+
+
+def test_bloom_semi_join_empty_sides():
+    """An empty build side must prune EVERYTHING (all-zeros bitmap) without
+    tripping the fold tree or the tagged-schema inference."""
+    from tslib_ray.stages.join import bloom_semi_join
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                                   "p": pa.array([10, 20])}))
+    right_empty = rd.from_arrow(pa.table({"rk": pa.array([],
+                                                         type=pa.int64())}))
+    out = bloom_semi_join(left, "k", right_empty, "rk",
+                          m_bits=1 << 10, n_parts=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "p"}
+
+
+# ---------------------------------------------------------------------------
 # registry growth guard (VERDICT r03 item 8)
 # ---------------------------------------------------------------------------
 

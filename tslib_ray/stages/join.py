@@ -122,6 +122,8 @@ def _or_fold_tree(refs: list, words: int, fan_in: int = 8) -> "ray.ObjectRef":
     def or_fold(*tables: pa.Table) -> pa.Table:
         acc = np.zeros(words, dtype=np.uint64)
         for t in tables:
+            if "bm" not in t.column_names:  # empty passthrough block
+                continue
             for buf in t["bm"]:  # ChunkedArray iteration yields scalars
                 acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
         return pa.table({"bm": pa.array([acc.tobytes()], type=pa.binary())})
@@ -152,7 +154,11 @@ def build_bloom(ds: "rd.Dataset", key: str,
 
     refs = ds.select_columns([key]).map_batches(
         partial, batch_format="pyarrow").to_arrow_refs()
+    if not refs:  # zero-block (empty) build side -> all-zeros bitmap
+        return ray.put(np.zeros(words, dtype=np.uint64))
     root = ray.get(_or_fold_tree(refs, words))  # exactly ONE table fetched
+    if "bm" not in root.column_names:  # single empty passthrough block
+        return ray.put(np.zeros(words, dtype=np.uint64))
     final = np.frombuffer(root["bm"][0].as_py(), dtype=np.uint64)
     return ray.put(final)
 
@@ -200,6 +206,12 @@ def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
     # promote the null-padded int payload columns to float64 and silently
     # corrupt int64 values above 2^53 (ADVICE r03 #1).
     l_schema = left_tagged.schema()  # Ray Schema wrapper (names + types)
+    if l_schema is None:
+        # zero survivor rows flowed through tag(), so Ray cannot infer the
+        # tagged schema — but bloom pruning has no false negatives, so an
+        # empty survivor set IS the (empty) semi-join result, with the
+        # left schema preserved by the filter pass
+        return survivors
     col_type = dict(zip(l_schema.names, l_schema.types))
     payload_cols = [c for c in l_schema.names if c not in ("_k", "_d")]
 

@@ -210,6 +210,26 @@ def _empty_quantile_table(key: str, names: Sequence[str],
     return pa.table(cols)
 
 
+def _with_schema_anchor(out: "rd.Dataset", ds: "rd.Dataset", key: str,
+                        value_names: Sequence[str]) -> "rd.Dataset":
+    """``groupby().map_groups()`` over a fully EMPTY Dataset yields zero
+    blocks and loses the output schema (per-partition empty handling never
+    runs because there are no groups). Union one typed empty block in
+    front so ``Dataset.schema()`` and arrow consumers always see
+    (key, bucket_ts, values...) even for zero-row inputs. NOTE Ray's
+    ``to_pandas()`` returns a column-less frame for ANY zero-row Dataset
+    (even a plain typed ``from_arrow``) — the schema contract lives at the
+    Arrow level. The key's Arrow type is read from the input Dataset's
+    metadata schema."""
+    sch = ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[key]
+    cols = {key: pa.array([], type=key_type),
+            "bucket_ts": pa.array([], type=pa.timestamp("us"))}
+    for nm in value_names:
+        cols[nm] = pa.array([], type=pa.float64())
+    return rd.from_arrow(pa.table(cols)).union(out)
+
+
 def tdigest_quantiles_per_key(ds: "rd.Dataset", key: str, ts_col: str,
                               value_col: str, tier: str,
                               qs: Sequence[float] = (0.5, 0.95, 0.99),
@@ -243,9 +263,10 @@ def tdigest_quantiles_per_key(ds: "rd.Dataset", key: str, ts_col: str,
             cols[nm] = pa.array(est[i], type=pa.float64())
         return pa.table(cols)
 
-    return parted.groupby("_part").map_groups(
+    out = parted.groupby("_part").map_groups(
         lambda g: part_fn(g.drop_columns(["_part"])),
         batch_format="pyarrow")
+    return _with_schema_anchor(out, ds, key, names)
 
 
 def tdigest_tier(ds: "rd.Dataset", key: str, ts_col: str, value_col: str,
@@ -281,9 +302,10 @@ def tdigest_tier(ds: "rd.Dataset", key: str, ts_col: str, value_col: str,
             "mean": pa.array(cm, type=pa.float64()),
             "weight": pa.array(cw, type=pa.float64())})
 
-    return parted.groupby("_part").map_groups(
+    out = parted.groupby("_part").map_groups(
         lambda g: part_fn(g.drop_columns(["_part"])),
         batch_format="pyarrow")
+    return _with_schema_anchor(out, ds, key, ["mean", "weight"])
 
 
 def tdigest_cascade(sketch: "rd.Dataset", key: str, coarser: str,
@@ -316,9 +338,10 @@ def tdigest_cascade(sketch: "rd.Dataset", key: str, coarser: str,
             "mean": pa.array(cm, type=pa.float64()),
             "weight": pa.array(cw, type=pa.float64())})
 
-    return parted.groupby("_part").map_groups(
+    out = parted.groupby("_part").map_groups(
         lambda g: part_fn(g.drop_columns(["_part"])),
         batch_format="pyarrow")
+    return _with_schema_anchor(out, sketch, key, ["mean", "weight"])
 
 
 def tdigest_quantiles_from_sketch(sketch: "rd.Dataset", key: str,
@@ -346,6 +369,7 @@ def tdigest_quantiles_from_sketch(sketch: "rd.Dataset", key: str,
             cols[nm] = pa.array(est[i], type=pa.float64())
         return pa.table(cols)
 
-    return parted.groupby("_part").map_groups(
+    out = parted.groupby("_part").map_groups(
         lambda g: part_fn(g.drop_columns(["_part"])),
         batch_format="pyarrow")
+    return _with_schema_anchor(out, sketch, key, names)
