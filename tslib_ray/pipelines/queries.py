@@ -64,6 +64,20 @@ def _events(sf_dir: str, columns=None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _auto_parts(sf_dir: str, table: str = "events", lo: int = 8,
+                hi: int = 1 << 14, per_part: int = 1 << 22) -> int:
+    """Hash-partition count sized to the INPUT (compressed bytes / 4 MiB,
+    clamped to [lo, hi]): a 2 MB sf0.1 table does not need 64 partitions —
+    each extra partition costs fixed task-scheduling latency per stage,
+    which dominates wall time at small scale; at 100 TB the same rule
+    yields shard-sized partitions. Only safe for queries whose
+    per-partition aggregate is CANONICALLY ORDERED (sorted before any
+    float accumulation), so the result is partition-count-invariant."""
+    import os
+    sz = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    return int(max(lo, min(hi, sz // per_part)))
+
+
 def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -1857,11 +1871,14 @@ _ARGMAX_SQL = """
 
 def q_grouping_sets(sf_dir: str):
     """GROUPING SETS ((event_type, user_id), (event_type)) in ONE fact-table
-    pass: the coarse level is re-aggregated from the finest level's (tiny)
-    output — the dimension-hierarchy analogue of the tier cascade
-    (stages/rollup.py::cascade), so the raw data is shuffled once and each
-    coarser level costs only a shuffle of pre-aggregated rows."""
-    from ray.data.aggregate import Sum
+    pass and ONE all-to-all: block partials -> int-keyed hash exchange on
+    user_id -> per-partition fine aggregate; the coarse level is finished
+    from the fine blocks' (tiny, |types| x |partitions|) per-block partials
+    via a NARROW repartition(1) coalesce — no second sort shuffle (the old
+    two-chained-native-groupby plan cost ~2x the wall time at sf0.1).
+    Every aggregate sorts its input rows canonically first, so float
+    accumulation order is deterministic regardless of block arrival order
+    (the 6dp-rounding knife-edge discipline)."""
     ds = _events(sf_dir, ["event_type", "user_id", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1870,18 +1887,40 @@ def q_grouping_sets(sf_dir: str):
         return out.rename_columns(["event_type", "user_id", "n",
                                    "sum_value"])
 
-    fine = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["event_type", "user_id"]).aggregate(
-            Sum("n", alias_name="n"), Sum("sum_value",
-                                          alias_name="sum_value"))
-    coarse = fine.groupby("event_type").aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    _SORT = [("event_type", "ascending"), ("user_id", "ascending"),
+             ("sum_value", "ascending"), ("n", "ascending")]
 
-    def null_user(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "user_id", pa.nulls(len(b), type=pa.int64()))
+    def agg_fine(t: pa.Table) -> pa.Table:
+        out = t.sort_by(_SORT).group_by(
+            ["event_type", "user_id"]).aggregate(
+            [("n", "sum"), ("sum_value", "sum")])
+        return out.rename_columns(["event_type", "user_id", "n",
+                                   "sum_value"])
 
-    coarse = coarse.map_batches(null_user, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    parted = R._add_part(partials, "user_id", _auto_parts(sf_dir))
+    fine = parted.groupby("_part").map_groups(
+        lambda t: agg_fine(t.drop_columns(["_part"])),
+        batch_format="pyarrow")
+
+    def coarse_partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_value", "sum")])
+        return out.rename_columns(["event_type", "n", "sum_value"])
+
+    def coarse_final(b: pa.Table) -> pa.Table:
+        out = coarse_partial(b.sort_by(
+            [("event_type", "ascending"), ("sum_value", "ascending"),
+             ("n", "ascending")]))
+        return out.append_column(
+            "user_id", pa.nulls(len(out), type=pa.int64()))
+
+    # coarse is finished from the PRE-shuffle block partials (not from
+    # fine), so its narrow coalesce runs concurrently with the sort
+    # instead of serially after it
+    coarse = partials.map_batches(coarse_partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(coarse_final, batch_format="pyarrow",
+                                    batch_size=None)
     out = fine.union(coarse.select_columns(fine.schema().names))
     return _round6(out, ["sum_value"])
 
