@@ -3333,6 +3333,209 @@ def q_dedup_clusters_stars(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# round 4b: anti-join, ratio/moment aggregates, mode, lag window
+# ---------------------------------------------------------------------------
+
+def q_antijoin_no_orders(sf_dir: str):
+    """Churned customers — no orders since 2000-01-01 — via an EXACT
+    anti-join of two corpus-proportional sides
+    (stages/join.py::bloom_anti_join): a Bloom MISS proves absence (no
+    false negatives), so most churned customers ship nothing; only Bloom
+    hits enter the co-partitioned exact set test and verified false
+    positives rejoin the output. The date filter is pushed to the parquet
+    read. ``c_acctbal`` passes through untouched, so the compare is
+    bit-exact with no rounding."""
+    import datetime as _dt
+    from ..stages.join import bloom_anti_join
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pc.field("o_orderdate") >= _dt.datetime(2000, 1, 1)))
+    return bloom_anti_join(cust, "c_custkey", orders, "o_custkey",
+                           m_bits=1 << 20, n_parts=16)
+
+
+_ANTIJOIN_SQL = """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')"""
+
+
+def q_weighted_avg_disc(sf_dir: str):
+    """Price-weighted mean discount per return flag — the mergeable
+    RATIO-OF-SUMS aggregate: per-block (sum w, sum w*x) partial rows
+    (|flags| per block) coalesce through ONE narrow repartition(1); no
+    all-to-all anywhere. The final division happens once, after canonical
+    ordering of the partials, so float accumulation is deterministic."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_discount",
+                                  "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        wx = pc.multiply(b["l_discount"], b["l_extendedprice"])
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "w": b["l_extendedprice"], "wx": wx})
+        return t.group_by(["l_returnflag"]).aggregate(
+            [("w", "sum"), ("wx", "sum")]).rename_columns(
+            ["l_returnflag", "w", "wx"])
+
+    def final(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("l_returnflag", "ascending"), ("w", "ascending"),
+                       ("wx", "ascending")])
+        out = b.group_by(["l_returnflag"]).aggregate(
+            [("w", "sum"), ("wx", "sum")]).rename_columns(
+            ["l_returnflag", "w", "wx"])
+        sw = out["w"].to_numpy(zero_copy_only=False)
+        swx = out["wx"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": out["l_returnflag"],
+                         "wavg_disc": pa.array(r6(swx / sw))})
+
+    return li.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_format="pyarrow",
+                                    batch_size=None)
+
+
+_WEIGHTED_AVG_SQL = """
+    SELECT l_returnflag,
+           FLOOR(SUM(l_discount * l_extendedprice) / SUM(l_extendedprice)
+                 * 1000000 + 0.5) / 1000000 AS wavg_disc
+    FROM lineitem GROUP BY l_returnflag"""
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Pearson correlation of quantity vs extended price per return flag,
+    from MERGEABLE MOMENTS (n, sx, sy, sxx, syy, sxy): per-block partial
+    moment rows coalesce through one narrow repartition(1), and the
+    correlation is assembled once with the same float-op order the oracle
+    SQL spells out (never DuckDB's builtin corr, whose streaming
+    covariance update rounds differently — the quantile-oracle landmine
+    discipline applied to second moments)."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    _MOMS = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        x, y = b["l_quantity"], b["l_extendedprice"]
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "n": pa.array(np.ones(len(b), dtype=np.float64)),
+                      "sx": x, "sy": y,
+                      "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+                      "sxy": pc.multiply(x, y)})
+        return t.group_by(["l_returnflag"]).aggregate(
+            [(m, "sum") for m in _MOMS]).rename_columns(
+            ["l_returnflag"] + _MOMS)
+
+    def final(b: pa.Table) -> pa.Table:
+        b = b.sort_by([("l_returnflag", "ascending")]
+                      + [(m, "ascending") for m in _MOMS])
+        out = b.group_by(["l_returnflag"]).aggregate(
+            [(m, "sum") for m in _MOMS]).rename_columns(
+            ["l_returnflag"] + _MOMS)
+        n, sx, sy, sxx, syy, sxy = (
+            out[m].to_numpy(zero_copy_only=False) for m in _MOMS)
+        r = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pa.table({"l_returnflag": out["l_returnflag"],
+                         "corr_qty_price": pa.array(r6(r))})
+
+    return li.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_format="pyarrow",
+                                    batch_size=None)
+
+
+_CORR_SQL = """
+    WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                      SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+                      SUM(l_quantity * l_quantity) AS sxx,
+                      SUM(l_extendedprice * l_extendedprice) AS syy,
+                      SUM(l_quantity * l_extendedprice) AS sxy
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           FLOOR((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS corr_qty_price
+    FROM s"""
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-user MODE of event_type (most frequent; ties broken by the
+    lexicographically smallest type): per-block count partials -> one
+    int-keyed hash exchange on user_id -> per-partition count-sum +
+    vectorized argmax. Counts are integers, so the compare is exact."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]).rename_columns(
+            ["user_id", "event_type", "n"])
+
+    def best(t: pa.Table) -> pa.Table:
+        t = t.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")]).rename_columns(["user_id", "event_type", "n"])
+        t = t.sort_by([("user_id", "ascending"), ("n", "descending"),
+                       ("event_type", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, u[1:] != u[:-1]]
+        return t.filter(pa.array(first))
+
+    parted = R._add_part(ds.map_batches(partial, batch_format="pyarrow"),
+                         "user_id", _auto_parts(sf_dir))
+    return parted.groupby("_part").map_groups(
+        lambda t: best(t.drop_columns(["_part"])), batch_format="pyarrow")
+
+
+_MODE_SQL = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT user_id, event_type, n FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY n DESC, event_type) AS rn
+        FROM c) WHERE rn = 1"""
+
+
+def q_lag_diff(sf_dir: str):
+    """Per-user first difference (LAG window): one int-keyed hash exchange
+    on user_id, then a per-partition lexsort + vectorized diff; the first
+    event of each user gets NULL. The difference subtracts the SAME two
+    stored doubles both engines read, so the value is bit-identical to
+    the SQL window before rounding — no accumulation order involved."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        us, vs, es = u[order], v[order], e[order]
+        d = np.empty(vs.size, dtype=np.float64)
+        if vs.size:
+            d[0] = np.nan
+            d[1:] = vs[1:] - vs[:-1]
+            d[np.r_[True, us[1:] != us[:-1]]] = np.nan
+        return pa.table({"user_id": pa.array(us),
+                         "event_id": pa.array(es),
+                         "dvalue": pa.array(r6(d))})
+
+    parted = R._add_part(ds, "user_id", _auto_parts(sf_dir))
+    return parted.groupby("_part").map_groups(
+        lambda t: fn(t.drop_columns(["_part"])), batch_format="pyarrow")
+
+
+_LAG_DIFF_SQL = """
+    SELECT user_id, event_id,
+           FLOOR((value - lag(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                 * 1000000 + 0.5) / 1000000 AS dvalue
+    FROM events"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3472,6 +3675,11 @@ QUERIES: dict = {
                            ).tdigest_cascade_values()),
     "dedup_clusters_stars": (q_dedup_clusters_stars,
                              _dedup_clusters_sql()),
+    "antijoin_no_orders": (q_antijoin_no_orders, _ANTIJOIN_SQL),
+    "weighted_avg_disc": (q_weighted_avg_disc, _WEIGHTED_AVG_SQL),
+    "corr_qty_price": (q_corr_qty_price, _CORR_SQL),
+    "mode_event_type": (q_mode_event_type, _MODE_SQL),
+    "lag_diff": (q_lag_diff, _LAG_DIFF_SQL),
 }
 
 # ---------------------------------------------------------------------------
@@ -3486,6 +3694,8 @@ QUERIES: dict = {
 _ROUND4_FRONT = [
     # new in round 4 (never verified)
     "tdigest_quantile_1d", "tdigest_cascade_1h", "dedup_clusters_stars",
+    "antijoin_no_orders", "weighted_avg_disc", "corr_qty_price",
+    "mode_event_type", "lag_diff",
     # 41 never driver-verified (added in round 3)
     "rsc_weights", "semijoin_top_users", "session_assign", "pivot_role_wide",
     "melt_lineitem", "autocorr_lag1", "cumsum_per_user", "stratified_sample",
@@ -3499,9 +3709,13 @@ _ROUND4_FRONT = [
     "embedding_centroids", "dedup_clusters", "funnel_counts", "trend_slope",
     "anomaly_zscore", "interval_count", "sliding_distinct",
     "repetition_score", "tfidf_top3",
-    # 9 green in r02 but outside r03's 50-entry window
-    "embedding_dedup", "knn_ivf", "quality_score", "lang_id", "fingerprint",
-    "media_features", "rsc_counterfactual", "mrsc_counterfactual",
+    # 9 green in r02 but outside r03's 50-entry window; media_features
+    # leads so it stays inside the 50-entry driver window (VERDICT r03
+    # item 5 wants it re-verified after the vectorization) — the round-4b
+    # additions above pushed the other eight past position 50, where
+    # their r02 CORRECTNESS rows still stand
+    "media_features", "embedding_dedup", "knn_ivf", "quality_score",
+    "lang_id", "fingerprint", "rsc_counterfactual", "mrsc_counterfactual",
     "incremental_denoise",
 ]
 

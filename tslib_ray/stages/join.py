@@ -163,31 +163,36 @@ def build_bloom(ds: "rd.Dataset", key: str,
     return ray.put(final)
 
 
-def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
-                    right_key: str, m_bits: int = 1 << 23,
-                    n_parts: int = 32) -> "rd.Dataset":
-    """EXACT semi-join for two large sides: a broadcast Bloom bitmap of the
-    right side's keys prunes ``ds`` map-side (no false negatives, so
-    nothing is lost), then the ~|matching| survivors are verified exactly
-    with a co-partitioned (key, flag) set-intersection — the same narrow
-    exchange ``ids_difference`` uses. Only Bloom SURVIVORS ever shuffle;
-    at a 1% false-positive rate the exchange is |match| + 0.01|ds| rows
-    instead of |ds| + |right|."""
-    bloom_ref = build_bloom(right, right_key, m_bits)
+def _bloom_mask(ds: "rd.Dataset", key: str, bloom_ref, m_bits: int,
+                want_hit: bool) -> "rd.Dataset":
+    """Rows of ``ds`` whose key does (``want_hit``) / does not hit the
+    broadcast bitmap. One zero-copy map pass; the bitmap is fetched from
+    the object store per task, never re-shipped per batch."""
 
-    def prefilter(b: pa.Table) -> pa.Table:
+    def fn(b: pa.Table) -> pa.Table:
         bm = ray.get(bloom_ref)
         keys = b[key].to_numpy(zero_copy_only=False)
         hit = np.ones(len(b), dtype=bool)
         for pos in _bloom_positions(keys, m_bits):
             hit &= (bm[(pos >> np.uint64(6)).astype(np.int64)]
                     >> (pos & np.uint64(63))) & np.uint64(1) > 0
-        return b.filter(pa.array(hit))
+        return b.filter(pa.array(hit if want_hit else ~hit))
 
-    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
-    # exact verify: co-partition survivor keys with right keys, keep
-    # survivor rows whose key actually appears on the right
+
+def _exact_membership_filter(left: "rd.Dataset", key: str,
+                             right: "rd.Dataset", right_key: str,
+                             keep_members: bool,
+                             n_parts: int) -> "rd.Dataset":
+    """Co-partitioned EXACT membership filter: keep left rows whose key
+    does (``keep_members``) / does not appear in the right key set. Left
+    rows and right keys are tagged, union'd and hash-exchanged ONCE on the
+    key; each partition resolves membership with a vectorized ``np.isin``.
+    The whole path stays ARROW — a pandas round-trip here would promote
+    the null-padded int payload columns to float64 and silently corrupt
+    int64 values above 2^53 (ADVICE r03 #1)."""
+
     def tag(b: pa.Table, flag: int, kcol: str) -> pa.Table:
         keys = b[kcol].cast(pa.int64())
         t = pa.table({"_k": keys,
@@ -199,19 +204,14 @@ def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
     right_keys = right.select_columns([right_key]).map_batches(
         lambda b: tag(b, 1, right_key).select(["_k", "_d"]),
         batch_format="pyarrow")
-    left_tagged = survivors.map_batches(
+    left_tagged = left.map_batches(
         lambda b: tag(b, 0, key), batch_format="pyarrow")
-    # align schemas for the union: right side gets null payload columns.
-    # The whole verify path stays ARROW — a pandas round-trip here would
-    # promote the null-padded int payload columns to float64 and silently
-    # corrupt int64 values above 2^53 (ADVICE r03 #1).
     l_schema = left_tagged.schema()  # Ray Schema wrapper (names + types)
     if l_schema is None:
-        # zero survivor rows flowed through tag(), so Ray cannot infer the
-        # tagged schema — but bloom pruning has no false negatives, so an
-        # empty survivor set IS the (empty) semi-join result, with the
-        # left schema preserved by the filter pass
-        return survivors
+        # zero left rows flowed through tag(), so Ray cannot infer the
+        # tagged schema — an empty left stream filters to itself (empty),
+        # with the left schema preserved by upstream passes
+        return left
     col_type = dict(zip(l_schema.names, l_schema.types))
     payload_cols = [c for c in l_schema.names if c not in ("_k", "_d")]
 
@@ -228,7 +228,8 @@ def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
         d = t["_d"].to_numpy(zero_copy_only=False)
         k = t["_k"].to_numpy(zero_copy_only=False)
         rk = np.unique(k[d == 1])
-        keep = (d == 0) & np.isin(k, rk)
+        member = np.isin(k, rk)
+        keep = (d == 0) & (member if keep_members else ~member)
         return t.filter(pa.array(keep)).select(payload_cols)
 
     from .rollup import _add_part
@@ -236,3 +237,37 @@ def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
     return parted.groupby("_part").map_groups(
         lambda g: verify(g.drop_columns(["_part"])),
         batch_format="pyarrow")
+
+
+def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
+                    right_key: str, m_bits: int = 1 << 23,
+                    n_parts: int = 32) -> "rd.Dataset":
+    """EXACT semi-join for two large sides: a broadcast Bloom bitmap of the
+    right side's keys prunes ``ds`` map-side (no false negatives, so
+    nothing is lost), then the ~|matching| survivors are verified exactly
+    with a co-partitioned (key, flag) set-intersection — the same narrow
+    exchange ``ids_difference`` uses. Only Bloom SURVIVORS ever shuffle;
+    at a 1% false-positive rate the exchange is |match| + 0.01|ds| rows
+    instead of |ds| + |right|."""
+    bloom_ref = build_bloom(right, right_key, m_bits)
+    survivors = _bloom_mask(ds, key, bloom_ref, m_bits, want_hit=True)
+    return _exact_membership_filter(survivors, key, right, right_key,
+                                    keep_members=True, n_parts=n_parts)
+
+
+def bloom_anti_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
+                    right_key: str, m_bits: int = 1 << 23,
+                    n_parts: int = 32) -> "rd.Dataset":
+    """EXACT anti-join for two large sides, the mirror of
+    :func:`bloom_semi_join`: a Bloom MISS proves the key is absent from
+    the right side (no false negatives), so miss rows are emitted with NO
+    exchange at all; only the ~|present| + fp Bloom HITS are verified
+    exactly with the co-partitioned set test, and the verified-absent
+    (false-positive) rows join the output. At 100 TB the exchange is
+    bounded by the match volume, not |ds| + |right|."""
+    bloom_ref = build_bloom(right, right_key, m_bits)
+    misses = _bloom_mask(ds, key, bloom_ref, m_bits, want_hit=False)
+    hits = _bloom_mask(ds, key, bloom_ref, m_bits, want_hit=True)
+    fp = _exact_membership_filter(hits, key, right, right_key,
+                                  keep_members=False, n_parts=n_parts)
+    return misses.union(fp)
