@@ -119,7 +119,9 @@ def run_benchmarks() -> dict:
                  "incremental_denoise", "media_features",
                  # round 4
                  "tdigest_quantile_1d", "tdigest_cascade_1h",
-                 "dedup_clusters_stars"):
+                 "dedup_clusters_stars",
+                 "antijoin_no_orders", "weighted_avg_disc",
+                 "corr_qty_price", "mode_event_type", "lag_diff"):
         timed(name)
 
     value = timings[headline]
