@@ -400,6 +400,51 @@ def minhash_lsh_pairs(docs: "rd.Dataset", num_perm: int = 64,
             batch_format="pandas")
 
 
+def _verify_pair_frame(b: pd.DataFrame, text_col: str, cand_text_col: str,
+                       shingle_k: int, threshold: float, id_col: str,
+                       return_edges: bool) -> pd.DataFrame:
+    """Exact-Jaccard verdicts for one frame of candidate pairs carrying both
+    texts. Batch-vectorized: tag every shingle hash of both sides with its
+    pair index, sort by (pair, hash); since each side is unique within a
+    pair, an adjacent equal (pair, hash) run is exactly one cross-side
+    match."""
+    if len(b) == 0:
+        if return_edges:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "cand_id": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
+    ha, la = _batch_shingle_flat(b[text_col], shingle_k)
+    hb, lb = _batch_shingle_flat(b[cand_text_col], shingle_k)
+    n = len(b)
+    pair_of = np.concatenate([np.repeat(np.arange(n), la),
+                              np.repeat(np.arange(n), lb)])
+    hashes = np.concatenate([ha, hb])
+    order = np.lexsort((hashes, pair_of))
+    pair_of, hashes = pair_of[order], hashes[order]
+    dup = np.concatenate(
+        ([False], (pair_of[1:] == pair_of[:-1])
+         & (hashes[1:] == hashes[:-1])))
+    inter = np.bincount(pair_of[dup], minlength=n)
+    union = la + lb - inter
+    jac = inter / np.maximum(union, 1)
+    keep = jac >= threshold
+    if return_edges:
+        out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep],
+                            "cand_id": b["cand_id"].to_numpy()[keep]})
+    else:
+        out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep]})
+    return out.drop_duplicates()
+
+
+# Below this many candidate pairs the verify stage broadcasts the (bounded,
+# <= 2*n_pairs-row) needed-text table instead of running two hash-join actor
+# pools: each pool costs ~2 s of fixed setup regardless of data volume, which
+# dominates small corpora (sf0.1: 9.7 s -> see BASELINE.md) while the
+# broadcast is capped at ~40k texts. Large corpora take the join path
+# unchanged.
+SMALL_VERIFY_PAIRS = 20_000
+
+
 def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
                          threshold: float, shingle_k: int = 3,
                          id_col: str = "doc_id", text_col: str = "text",
@@ -434,6 +479,34 @@ def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
                                      value_set=_ray.get(need_ref)))
 
         texts = texts.map_batches(prefilter, batch_format="pyarrow")
+
+        if n_pairs <= SMALL_VERIFY_PAIRS:
+            # small-candidate gate: the needed-text table is bounded by
+            # 2*n_pairs rows — pull it once, broadcast by ref, and verify
+            # inside ONE map stage over the pair table. Skips both hash-join
+            # pools (fixed ~2 s setup each at any corpus size).
+            tex = texts.to_pandas()
+            t_ids = tex[id_col].to_numpy()
+            t_order = np.argsort(t_ids, kind="mergesort")
+            lut_ref = _ray.put((t_ids[t_order],
+                                tex[text_col].to_numpy()[t_order]))
+
+            def verify_small(b: pd.DataFrame) -> pd.DataFrame:
+                ids_sorted, txts = _ray.get(lut_ref)
+                d = b["doc_id"].to_numpy()
+                c = b["cand_id"].to_numpy()
+                frame = pd.DataFrame({
+                    id_col: d,
+                    "cand_id": c,
+                    text_col: txts[np.searchsorted(ids_sorted, d)],
+                    "cand_text": txts[np.searchsorted(ids_sorted, c)],
+                })
+                return _verify_pair_frame(frame, text_col, "cand_text",
+                                          shingle_k, threshold, id_col,
+                                          return_edges)
+
+            dropped = pairs.map_batches(verify_small, batch_format="pandas")
+            return _dedup_dropped(dropped, id_col)
     j1 = _join(pairs, texts, join_type="inner",
                num_partitions=num_partitions, on=("cand_id",),
                right_on=(id_col,), right_suffix="_r")
@@ -447,35 +520,16 @@ def verify_pairs_jaccard(docs: "rd.Dataset", pairs: "rd.Dataset",
                right_suffix="_r")
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64)})
-        ha, la = _batch_shingle_flat(b[text_col], shingle_k)
-        hb, lb = _batch_shingle_flat(b["cand_text"], shingle_k)
-        n = len(b)
-        # batch-vectorized intersection sizes: tag every shingle hash of
-        # both sides with its pair index, sort by (pair, hash); since each
-        # side is unique within a pair, an adjacent equal (pair, hash) run
-        # is exactly one cross-side match
-        pair_of = np.concatenate([np.repeat(np.arange(n), la),
-                                  np.repeat(np.arange(n), lb)])
-        hashes = np.concatenate([ha, hb])
-        order = np.lexsort((hashes, pair_of))
-        pair_of, hashes = pair_of[order], hashes[order]
-        dup = np.concatenate(
-            ([False], (pair_of[1:] == pair_of[:-1])
-             & (hashes[1:] == hashes[:-1])))
-        inter = np.bincount(pair_of[dup], minlength=n)
-        union = la + lb - inter
-        jac = inter / np.maximum(union, 1)
-        keep = jac >= threshold
-        if return_edges:
-            out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep],
-                                "cand_id": b["cand_id"].to_numpy()[keep]})
-        else:
-            out = pd.DataFrame({id_col: b[id_col].to_numpy()[keep]})
-        return out.drop_duplicates()
+        return _verify_pair_frame(b, text_col, "cand_text", shingle_k,
+                                  threshold, id_col, return_edges)
 
     dropped = j2.map_batches(verify, batch_format="pandas")
+    return _dedup_dropped(dropped, id_col)
+
+
+def _dedup_dropped(dropped: "rd.Dataset", id_col: str) -> "rd.Dataset":
+    """Distinct rows of the verify output via one narrow int-key shuffle
+    (cross-band duplicates of the same verdict collapse per partition)."""
 
     def part_by_doc(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

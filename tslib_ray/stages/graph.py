@@ -48,7 +48,19 @@ def _small_cc_task(node_refs: list, edge_refs: list, node_col: str,
     @ray.remote
     def run(node_col: str, u_col: str, v_col: str, n_nodes: int,
             *tables: pa.Table) -> pa.Table:
-        ntabs, etabs = tables[:n_nodes], tables[n_nodes:]
+        def norm(ts):
+            # block refs may surface as pandas (to_arrow_refs passes
+            # pandas blocks through) and map_groups emits zero-column
+            # empty blocks on empty partitions — normalize both
+            out = []
+            for t in ts:
+                if isinstance(t, pd.DataFrame):
+                    t = pa.Table.from_pandas(t, preserve_index=False)
+                if t.num_rows and t.num_columns:
+                    out.append(t)
+            return out
+
+        ntabs, etabs = norm(tables[:n_nodes]), norm(tables[n_nodes:])
         nodes = np.unique(np.concatenate(
             [t[node_col].cast(pa.int64()).to_numpy() for t in ntabs])
             if ntabs else [np.empty(0, dtype=np.int64)])
