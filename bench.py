@@ -121,7 +121,10 @@ def run_benchmarks() -> dict:
                  "tdigest_quantile_1d", "tdigest_cascade_1h",
                  "dedup_clusters_stars",
                  "antijoin_no_orders", "weighted_avg_disc",
-                 "corr_qty_price", "mode_event_type", "lag_diff"):
+                 "corr_qty_price", "mode_event_type", "lag_diff",
+                 # round 4c
+                 "heavy_hitters", "distinct_overlap", "ngram_by_lang",
+                 "cusum_alerts"):
         timed(name)
 
     value = timings[headline]

@@ -3535,6 +3535,139 @@ _LAG_DIFF_SQL = """
     FROM events"""
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Top-20 most frequent users by event count via the mergeable
+    Misra-Gries summary (stages/freq.py::heavy_hitters): exact per-block
+    counts MG-truncated to ``capacity``, ONE narrow item-hash exchange of
+    <= capacity rows per block, deterministic ``(n DESC, item ASC)`` ties.
+    With capacity 4096 >= the distinct-user count at oracle scales no
+    truncation fires, ``err_bound`` is 0 and the counts are exact — the
+    estimator regime (err_bound > 0, lower-bound counts within n/capacity)
+    is pytest-bounded in tests/test_round4c.py."""
+    from ..stages.freq import heavy_hitters
+    ds = _events(sf_dir, ["user_id"])
+    return heavy_hitters(ds, "user_id", k=20, capacity=4096)
+
+
+_HEAVY_HITTERS_SQL = """
+    SELECT item, n, CAST(0 AS BIGINT) AS err_bound FROM (
+        SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS n
+        FROM events GROUP BY 1)
+    ORDER BY n DESC, item LIMIT 20"""
+
+
+def q_distinct_overlap(sf_dir: str):
+    """Distinct-user set algebra between two event streams (clickers vs
+    purchasers) via mergeable bottom-k KMV sketches
+    (stages/sample.py::kmv_set_ops): only uint64 hashes move, one row out.
+    k=4096 exceeds the distinct count at oracle scales, so the sketches
+    ARE the distinct sets and all four numbers are exact; the estimator
+    regime is pytest-bounded."""
+    from ..stages.sample import kmv_set_ops
+    a = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"],
+                        filter=(pc.field("event_type") == "click"))
+    b = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"],
+                        filter=(pc.field("event_type") == "purchase"))
+    return kmv_set_ops(a, b, "user_id", k=4096)
+
+
+_DISTINCT_OVERLAP_SQL = """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT CAST((SELECT COUNT(*) FROM a) AS DOUBLE) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS DOUBLE) AS n_b,
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT * FROM a UNION SELECT * FROM b)) AS DOUBLE)
+               AS n_union,
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT * FROM a INTERSECT SELECT * FROM b)) AS DOUBLE)
+               AS n_intersect"""
+
+
+def q_ngram_by_lang(sf_dir: str):
+    """Top-5 bigrams PER LANGUAGE (stages/text.py::ngram_topk_by_group):
+    per-subcorpus template signatures. Partitioned on the gram (not the
+    5-value group) so the corpus never funnels through 5 reducers; the
+    per-group finish moves <= k * n_parts rows per group."""
+    from ..stages.text import ngram_topk_by_group
+    return ngram_topk_by_group(_docs(sf_dir, ["lang", "text"]), "lang",
+                               n=2, k=5)
+
+
+_NGRAM_BY_LANG_SQL = """
+    WITH t AS (SELECT lang, string_split(text, ' ') AS l FROM documents),
+    pos AS (SELECT lang, l, unnest(generate_series(1, len(l) - 1)) AS i
+            FROM t),
+    grams AS (SELECT lang AS grp, l[i] || ' ' || l[i + 1] AS gram FROM pos),
+    cnt AS (SELECT grp, gram, COUNT(*) AS n FROM grams GROUP BY grp, gram),
+    r AS (SELECT *, row_number() OVER (PARTITION BY grp
+                                       ORDER BY n DESC, gram) AS rn
+          FROM cnt)
+    SELECT grp, gram, n FROM r WHERE rn <= 5"""
+
+
+_CUSUM_THRESHOLD = 150  # alert when |mean-adjusted running sum| exceeds this
+
+
+def q_cusum_alerts(sf_dir: str):
+    """CUSUM change detection per user: flag events where the running sum
+    of (value - user_mean), ordered by (ts, event_id), exceeds +-150 — the
+    classic drift detector over a metric stream. INTEGER-EXACT both sides:
+    values are 2-decimal, so the engine works on scaled int64
+    ``cents*n_u - sum_cents_u`` (the deviation times n_u, avoiding the
+    non-associative float mean entirely); the SQL mirror runs the same
+    integer recurrence, so there is no quantile-style ulp knife edge (see
+    round-4 memory). Overflow bound: |cents|*n_u*rows_u < 2^63 — holds to
+    ~10^8 events per user at 4-digit values; asserted per partition.
+    One user-hash exchange, per-partition vectorized cumsum."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    thr = _CUSUM_THRESHOLD
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "cusum": pd.Series([], dtype=np.float64)})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        new = np.concatenate(([True], uid[1:] != uid[:-1]))
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        n_u = np.diff(np.append(starts, uid.size)).astype(np.int64)
+        s_u = np.add.reduceat(cents, starts)
+        assert int(np.abs(cents).max(initial=0)) * int(n_u.max()) \
+            * int(n_u.max()) < 2 ** 62, "CUSUM int64 overflow bound"
+        dev = cents * n_u[seg] - s_u[seg]
+        cs = pd.Series(dev).groupby(seg).cumsum().to_numpy()
+        alert = np.abs(cs) > thr * 100 * n_u[seg]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[alert],
+            "cusum": cs[alert].astype(np.float64)
+                     / (100.0 * n_u[seg][alert]),
+        })
+
+    parted = R._add_part(ds, "user_id", 64)
+    return parted.groupby("_part").map_groups(
+        lambda g: fn(g.drop(columns=["_part"])), batch_format="pandas")
+
+
+_CUSUM_SQL_ALERTS = f"""
+    WITH c AS (SELECT user_id, event_id, ts,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    u AS (SELECT user_id, COUNT(*) AS n_u, SUM(cents) AS s_u
+          FROM c GROUP BY user_id),
+    s AS (SELECT c.event_id, c.user_id, u.n_u,
+                 SUM(c.cents * u.n_u - u.s_u)
+                     OVER (PARTITION BY c.user_id ORDER BY c.ts, c.event_id
+                           ROWS UNBOUNDED PRECEDING) AS cs_scaled
+          FROM c JOIN u USING (user_id))
+    SELECT event_id, CAST(cs_scaled AS DOUBLE) / (100.0 * n_u) AS cusum
+    FROM s WHERE ABS(cs_scaled) > {_CUSUM_THRESHOLD} * 100 * n_u"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3680,6 +3813,13 @@ QUERIES: dict = {
     "corr_qty_price": (q_corr_qty_price, _CORR_SQL),
     "mode_event_type": (q_mode_event_type, _MODE_SQL),
     "lag_diff": (q_lag_diff, _LAG_DIFF_SQL),
+    # round-4c additions: behind the 50-entry driver window by design (the
+    # window must keep the 41 never-verified round-3 queries + the judge's
+    # media_features re-check in front); queued for round 5's rotation.
+    "heavy_hitters": (q_heavy_hitters, _HEAVY_HITTERS_SQL),
+    "distinct_overlap": (q_distinct_overlap, _DISTINCT_OVERLAP_SQL),
+    "ngram_by_lang": (q_ngram_by_lang, _NGRAM_BY_LANG_SQL),
+    "cusum_alerts": (q_cusum_alerts, _CUSUM_SQL_ALERTS),
 }
 
 # ---------------------------------------------------------------------------

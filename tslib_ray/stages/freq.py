@@ -1,0 +1,113 @@
+"""Mergeable Misra-Gries heavy-hitter summary (a.k.a. batched
+Space-Saving / frequent-items sketch) — the 100-TB answer to "top-k most
+frequent items" when the item domain is too large for an exact per-item
+groupby to be worth its shuffle.
+
+Representation: a summary is a table of ``(item, n)`` rows with at most
+``capacity`` items, where ``n`` is a LOWER BOUND on the item's true count,
+plus one reserved marker row carrying the summary's accumulated decrement
+(the classic MG error budget). Summaries compose:
+
+- map side: each block computes EXACT per-item counts with
+  ``pyarrow.Table.group_by`` (vectorized), then MG-truncates to
+  ``capacity`` — subtract the (capacity+1)-th largest count from every
+  count and keep the positive remainder. At most ``capacity`` rows plus
+  the marker leave each block;
+- ONE hash shuffle on the item merges partial counts per item (summing MG
+  summaries is itself a valid MG merge);
+- a final single-group pass re-truncates to ``capacity``, folds the
+  marker rows into the global error bound, and takes the top-k by
+  ``(n DESC, item ASC)``.
+
+Guarantees (standard MG): for every item, ``n <= true_count <=
+n + err_bound`` and ``err_bound <= total_rows / capacity``. When
+``err_bound == 0`` no truncation ever fired and the counts are EXACT —
+the small-scale state in which the SQL oracle checks this operator
+bit-for-bit (the estimator regime is pytest-bounded instead).
+
+No reference analogue — engine addition for corpus frequency analysis
+(template/boilerplate detection, hot-key discovery before a shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from .rollup import _add_part
+
+# reserved marker item carrying a partial summary's accumulated decrement;
+# \x00 cannot appear in real tokens/ids rendered as strings
+_DEC_KEY = "\x00__mg_dec__"
+
+
+def _mg_truncate(items: np.ndarray, counts: np.ndarray,
+                 capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Batched Misra-Gries decrement: reduce to <= ``capacity`` items by
+    subtracting the (capacity+1)-th largest count from all counts and
+    keeping the positive remainders. Returns (items, counts, decrement)."""
+    if items.size <= capacity:
+        return items, counts, 0
+    dec = int(np.partition(counts, -(capacity + 1))[-(capacity + 1)])
+    keep = counts > dec
+    return items[keep], counts[keep] - dec, dec
+
+
+def heavy_hitters(ds: "rd.Dataset", item_col: str, k: int = 20,
+                  capacity: int = 4096, n_parts: int = 32) -> "rd.Dataset":
+    """Top-``k`` most frequent values of ``ds[item_col]`` as ``(item, n,
+    err_bound)`` rows, deterministic tie order ``(n DESC, item ASC)``.
+    ``n`` is exact when ``err_bound`` is 0 (every block held fewer than
+    ``capacity`` distinct items); otherwise a lower bound within
+    ``err_bound``."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = pa.table({"item": b[item_col].cast(pa.string())}) \
+            .group_by("item").aggregate([("item", "count")])
+        items = np.asarray(agg["item"].to_pylist(), dtype=object)
+        counts = agg.column(1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        items, counts, dec = _mg_truncate(items, counts, capacity)
+        if dec:
+            items = np.append(items, _DEC_KEY)
+            counts = np.append(counts, dec)
+        return pa.table({"item": pa.array(items, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        """Per-partition merge: sum partial counts per item, keep each
+        partition's top-(k + marker) survivors — the final pass sees at
+        most (k+1) rows per partition."""
+        g = t.drop_columns(["_part"]).group_by("item") \
+            .aggregate([("n", "sum")]).rename_columns(["item", "n"]) \
+            .to_pandas()
+        mark = g["item"] == _DEC_KEY
+        top = g[~mark].sort_values(["n", "item"],
+                                   ascending=[False, True],
+                                   kind="mergesort").head(k)
+        out = pd.concat([top, g[mark]])
+        out["_g"] = np.int32(0)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["_g"]).to_pandas()
+        mark = g["item"] == _DEC_KEY
+        err = int(g.loc[mark, "n"].sum())
+        top = g[~mark].sort_values(["n", "item"],
+                                   ascending=[False, True],
+                                   kind="mergesort").head(k)
+        return pa.table({
+            "item": pa.array(top["item"], pa.string()),
+            "n": pa.array(top["n"].to_numpy(), pa.int64()),
+            "err_bound": pa.array(np.full(len(top), err, dtype=np.int64)),
+        })
+
+    partials = ds.select_columns([item_col]).map_batches(
+        partial, batch_format="pyarrow")
+    parted = _add_part(partials, "item", n_parts)
+    local = parted.groupby("_part").map_groups(merge_part,
+                                               batch_format="pyarrow")
+    return local.groupby("_g").map_groups(final, batch_format="pyarrow")

@@ -247,3 +247,65 @@ def stratified_sample(ds: "rd.Dataset", stratum_col: str, id_col: str,
     parted = _add_part(partials, stratum_col, n_parts)
     return parted.groupby("_part").map_groups(merge,
                                               batch_format="pyarrow")
+
+
+def kmv_set_ops(a: "rd.Dataset", b: "rd.Dataset", item_col: str,
+                k: int = 4096) -> "rd.Dataset":
+    """Distinct-set cardinality algebra over two streams via mergeable
+    bottom-k (KMV) hash sketches: ONE row ``(n_a, n_b, n_union,
+    n_intersect)``.
+
+    Map side keeps each block's distinct bottom-k 64-bit md5 hashes (at
+    most ``k`` uint64 rows per block enter the exchange — item payloads
+    never move); the single-group merge re-takes bottom-k per side
+    (bottom-k of a union == bottom-k of bottom-k's) and computes:
+
+    - exact counts when a side's sketch holds < ``k`` hashes (the sketch
+      IS the distinct set — the regime the SQL oracle checks bit-for-bit);
+    - the KMV estimator ``(k-1) / (h_(k) / 2^64)`` beyond, with the
+      intersection via the Jaccard share of the union sketch
+      (|K_union ∩ A ∩ B| / k) — the standard composition (Bar-Yossef et
+      al. 2002; Beyer et al. SIGMOD'07), pytest-bounded.
+
+    All outputs are float64 for a scale-stable schema across both regimes.
+    """
+
+    def partial(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            hv = np.unique(_hash_items(t[item_col]))[:k]  # sorted ascending
+            return pa.table({
+                "hv": pa.array(hv, pa.uint64()),
+                "side": pa.array(np.full(hv.size, side, dtype=np.int8)),
+                "_g": pa.array(np.zeros(hv.size, dtype=np.int32))})
+        return fn
+
+    both = a.select_columns([item_col]).map_batches(
+        partial(0), batch_format="pyarrow").union(
+        b.select_columns([item_col]).map_batches(
+            partial(1), batch_format="pyarrow"))
+
+    def est(h: np.ndarray) -> float:
+        if h.size < k:
+            return float(h.size)
+        return float((k - 1) / (float(h[k - 1]) / _TWO64))
+
+    def final(t: pa.Table) -> pa.Table:
+        hv = t["hv"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ha = np.unique(hv[side == 0])[:k]
+        hb = np.unique(hv[side == 1])[:k]
+        hu = np.unique(hv)[:k]
+        n_a, n_b, n_u = est(ha), est(hb), est(hu)
+        if ha.size < k and hb.size < k:
+            n_i = float(np.intersect1d(ha, hb).size)
+            n_u = float(np.union1d(ha, hb).size)
+        else:
+            in_both = np.intersect1d(np.intersect1d(hu, ha), hb).size
+            n_i = (in_both / max(hu.size, 1)) * n_u
+        return pa.table({"n_a": pa.array([n_a], pa.float64()),
+                         "n_b": pa.array([n_b], pa.float64()),
+                         "n_union": pa.array([n_u], pa.float64()),
+                         "n_intersect": pa.array([n_i], pa.float64())})
+
+    return both.groupby("_g").map_groups(
+        lambda g: final(g.drop_columns(["_g"])), batch_format="pyarrow")

@@ -317,6 +317,28 @@ def token_count(docs: "rd.Dataset", text_col: str = "text",
         batch_format="pandas", concurrency=concurrency)
 
 
+def _block_grams(b: pa.Table, text_col: str,
+                 n: int) -> tuple[pa.Array, np.ndarray]:
+    """All token ``n``-grams of a block as ONE C-speed join over ``n``
+    shifted zero-copy slices of the flat token array; windows straddling a
+    document boundary are masked out. Returns ``(grams, doc_index)`` where
+    ``doc_index[i]`` is the block row the i-th gram came from."""
+    toks = pc.split_pattern(b[text_col].cast(pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    parts = [flat.slice(j, m) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    docidx = np.repeat(np.arange(lens.size), lens)
+    valid = docidx[:m] == docidx[n - 1:]
+    return grams.filter(pa.array(valid)), docidx[:m][valid]
+
+
 def ngram_topk(docs: "rd.Dataset", text_col: str = "text", n: int = 3,
                k: int = 20, n_parts: int = 64) -> "rd.Dataset":
     """Corpus-level top-k token n-grams — the boilerplate/contamination
@@ -341,20 +363,7 @@ def ngram_topk(docs: "rd.Dataset", text_col: str = "text", n: int = 3,
         raise ValueError(f"n must be >= 2: {n}")
 
     def partial(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(b[text_col].cast(pa.string()), " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        flat = pc.list_flatten(toks)
-        m = len(flat) - (n - 1)
-        if m <= 0:
-            return pa.table({"gram": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        parts = [flat.slice(j, m) for j in range(n)]
-        grams = pc.binary_join_element_wise(*parts, " ")
-        docidx = np.repeat(np.arange(lens.size), lens)
-        grams = grams.filter(pa.array(docidx[:m] == docidx[n - 1:]))
+        grams, _ = _block_grams(b, text_col, n)
         agg = pa.table({"gram": grams}).group_by("gram") \
             .aggregate([("gram", "count")])
         return agg.rename_columns(["gram", "n"])
@@ -384,6 +393,55 @@ def ngram_topk(docs: "rd.Dataset", text_col: str = "text", n: int = 3,
                                                batch_format="pyarrow")
     return local.groupby("_g").map_groups(final_topk,
                                           batch_format="pyarrow")
+
+
+def ngram_topk_by_group(docs: "rd.Dataset", group_col: str,
+                        text_col: str = "text", n: int = 2, k: int = 5,
+                        n_parts: int = 64) -> "rd.Dataset":
+    """Top-``k`` token n-grams PER GROUP (per language, per source, per
+    split) — the per-subcorpus signature view of :func:`ngram_topk`, used
+    to spot templates that dominate one slice of a training mix.
+
+    Same three-stage shape, with the skew handled by partitioning on the
+    GRAM, not the group: group cardinality is often tiny (5 languages),
+    so hashing on the group would put the whole corpus through a handful
+    of reducers. Hashing on the high-cardinality gram keeps every
+    ``(group, gram)`` total complete within its partition, each partition
+    emits its local top-k per group (<= k rows per group per partition),
+    and a second NARROW exchange on the group (<= k * n_parts rows per
+    group) finishes the per-group top-k. Tie order ``(n DESC, gram ASC)``
+    shared with the SQL mirror."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2: {n}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        grams, docidx = _block_grams(b, text_col, n)
+        groups = b[group_col].cast(pa.string()).take(pa.array(docidx))
+        agg = pa.table({"grp": groups, "gram": grams}) \
+            .group_by(["grp", "gram"]).aggregate([("gram", "count")])
+        return agg.rename_columns(["grp", "gram", "n"])
+
+    def topk_per_group(g: pd.DataFrame, drop: str) -> pd.DataFrame:
+        g = g.drop(columns=[drop]) \
+            .groupby(["grp", "gram"], sort=False, as_index=False)["n"] \
+            .sum() \
+            .sort_values(["grp", "n", "gram"],
+                         ascending=[True, False, True], kind="mergesort")
+        return g.groupby("grp", sort=False).head(k)
+
+    def merge_local(g: pd.DataFrame) -> pd.DataFrame:
+        out = topk_per_group(g, "_part")
+        out["_g"] = np.int32(0)
+        return out
+
+    partials = docs.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    from .rollup import _add_part
+    parted = _add_part(partials, "gram", n_parts)
+    local = parted.groupby("_part").map_groups(merge_local,
+                                               batch_format="pandas")
+    return local.groupby("_g").map_groups(
+        lambda g: topk_per_group(g, "_g"), batch_format="pandas")
 
 
 def repetition_score(docs: "rd.Dataset", text_col: str = "text",
