@@ -184,3 +184,36 @@ def test_cusum_partition_invariant(sf_small):
         finally:
             R._add_part = orig
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# fused t-digest cascade plan
+# ---------------------------------------------------------------------------
+
+def test_tdigest_fused_cascade_bit_identical_to_staged(sf_small):
+    """The single-exchange tier->cascade->quantiles plan must reproduce the
+    staged three-shuffle chain EXACTLY (same kernels over the same
+    partition contents)."""
+    import ray.data as rd
+    from tslib_ray.stages.tdigest import (tdigest_cascade,
+                                          tdigest_cascade_quantiles,
+                                          tdigest_quantiles_from_sketch,
+                                          tdigest_tier)
+    ds = rd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    staged = tdigest_quantiles_from_sketch(
+        tdigest_cascade(
+            tdigest_tier(ds, "event_type", "ts", "value", "1m",
+                         delta=100.0),
+            "event_type", "1h", delta=100.0),
+        "event_type").to_pandas()
+    fused = tdigest_cascade_quantiles(ds, "event_type", "ts", "value",
+                                      "1m", "1h",
+                                      delta=100.0).to_pandas()
+    cols = ["event_type", "bucket_ts"]
+    staged = staged.sort_values(cols, kind="mergesort") \
+        .reset_index(drop=True)
+    fused = fused.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fused, staged)
+    for c in ("p50", "p95", "p99"):
+        assert (fused[c].to_numpy() == staged[c].to_numpy()).all()

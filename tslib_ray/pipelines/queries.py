@@ -3303,13 +3303,14 @@ def q_tdigest_cascade_1h(sf_dir: str):
     the CASCADED sketch is hash-verified against a sequential oracle —
     the 100-TB serving path where coarser tiers are maintained from finer
     sketches instead of raw points."""
-    from ..stages.tdigest import (tdigest_cascade,
-                                  tdigest_quantiles_from_sketch,
-                                  tdigest_tier)
+    from ..stages.tdigest import tdigest_cascade_quantiles
     ds = _events(sf_dir, ["event_type", "ts", "value"])
-    sk_1m = tdigest_tier(ds, "event_type", "ts", "value", "1m", delta=100.0)
-    sk_1h = tdigest_cascade(sk_1m, "event_type", "1h", delta=100.0)
-    out = tdigest_quantiles_from_sketch(sk_1h, "event_type")
+    # fused single-exchange plan: all three staged functions partition on
+    # the same key, so one job composes their kernels in one partition
+    # visit — bit-identical to the staged chain (test_round4c parity),
+    # one all-to-all instead of three
+    out = tdigest_cascade_quantiles(ds, "event_type", "ts", "value",
+                                    "1m", "1h", delta=100.0)
     return _round6(out, ["p50", "p95", "p99"])
 
 

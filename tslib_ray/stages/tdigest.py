@@ -344,6 +344,70 @@ def tdigest_cascade(sketch: "rd.Dataset", key: str, coarser: str,
     return _with_schema_anchor(out, sketch, key, ["mean", "weight"])
 
 
+def tdigest_cascade_quantiles(ds: "rd.Dataset", key: str, ts_col: str,
+                              value_col: str, fine: str, coarse: str,
+                              qs: Sequence[float] = (0.5, 0.95, 0.99),
+                              names: Sequence[str] | None = None,
+                              delta: float = 100.0,
+                              n_parts: int = 64) -> "rd.Dataset":
+    """Single-exchange plan for ``tier(fine) -> cascade(coarse) ->
+    quantiles`` when ONE job owns the whole chain: all three staged
+    functions hash-partition on the SAME key, so their per-partition
+    kernels compose in one partition visit — output bit-identical to the
+    staged ``tdigest_tier |> tdigest_cascade |>
+    tdigest_quantiles_from_sketch`` (tested), at one all-to-all instead of
+    three. The staged functions remain the cross-job path, where coarser
+    tiers are maintained from PERSISTED finer sketches instead of raw
+    points."""
+    assert fine in TIER_UNIT and coarse in TIER_UNIT
+    names = list(names or [f"p{round(q * 100)}" for q in qs])
+    qs_arr = np.asarray(qs, dtype=np.float64)
+    parted = _add_part(ds.select_columns([key, ts_col, value_col]),
+                       key, n_parts)
+
+    def sketch_rows(gid, ts_us, codes, uniques, cgid, cm, cw) -> pa.Table:
+        newg = np.r_[True, gid[1:] != gid[:-1]]
+        gfirst = np.flatnonzero(newg)
+        at = np.searchsorted(gid[gfirst], cgid)
+        return pa.table({
+            key: pc.take(uniques, pa.array(codes[gfirst][at])),
+            "bucket_ts": pa.array(ts_us[gfirst][at],
+                                  type=pa.timestamp("us")),
+            "mean": pa.array(cm, type=pa.float64()),
+            "weight": pa.array(cw, type=pa.float64())})
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        # fine-tier digest (the tdigest_tier kernel)
+        gid, v, w, ts_us, codes, uniques = _sorted_group_arrays(
+            t, key, value_col, False, ts_col, fine, None)
+        if gid.size == 0:
+            return _empty_quantile_table(key, names, uniques)
+        sk = sketch_rows(gid, ts_us, codes, uniques,
+                         *_cluster_all_groups(gid, v, w, delta))
+        # cascade to the coarse tier (the tdigest_cascade kernel)
+        gid2, v2, w2, ts2, codes2, uniq2 = _sorted_group_arrays(
+            sk, key, "mean", True, "bucket_ts", coarse, "weight")
+        sk2 = sketch_rows(gid2, ts2, codes2, uniq2,
+                          *_cluster_all_groups(gid2, v2, w2, delta))
+        # estimate (the tdigest_quantiles_from_sketch kernel)
+        gid3, v3, w3, ts3, codes3, uniq3 = _sorted_group_arrays(
+            sk2, key, "mean", True, "bucket_ts", None, "weight")
+        ggid, est = _quantiles_all_groups(gid3, v3, w3, qs_arr)
+        newg = np.r_[True, gid3[1:] != gid3[:-1]]
+        gfirst = np.flatnonzero(newg)
+        cols = {key: pc.take(uniq3, pa.array(codes3[gfirst])),
+                "bucket_ts": pa.array(ts3[gfirst],
+                                      type=pa.timestamp("us"))}
+        for i, nm in enumerate(names):
+            cols[nm] = pa.array(est[i], type=pa.float64())
+        return pa.table(cols)
+
+    out = parted.groupby("_part").map_groups(
+        lambda g: part_fn(g.drop_columns(["_part"])),
+        batch_format="pyarrow")
+    return _with_schema_anchor(out, ds, key, names)
+
+
 def tdigest_quantiles_from_sketch(sketch: "rd.Dataset", key: str,
                                   qs: Sequence[float] = (0.5, 0.95, 0.99),
                                   names: Sequence[str] | None = None,
