@@ -124,7 +124,7 @@ def run_benchmarks() -> dict:
                  "corr_qty_price", "mode_event_type", "lag_diff",
                  # round 4c
                  "heavy_hitters", "distinct_overlap", "ngram_by_lang",
-                 "cusum_alerts"):
+                 "cusum_alerts", "m4_downsample_1h", "cohort_retention"):
         timed(name)
 
     value = timings[headline]

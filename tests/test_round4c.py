@@ -217,3 +217,67 @@ def test_tdigest_fused_cascade_bit_identical_to_staged(sf_small):
     pd.testing.assert_frame_equal(fused, staged)
     for c in ("p50", "p95", "p99"):
         assert (fused[c].to_numpy() == staged[c].to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# M4 downsample / cohort retention
+# ---------------------------------------------------------------------------
+
+def test_m4_matches_pandas_reference_and_partitioning():
+    rng = np.random.default_rng(4)
+    n = 3_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, size=n),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 3_600_000, size=n), "ms"),
+        "eid": np.arange(n),
+        "v": rng.integers(0, 1000, size=n) / 100.0,
+    })
+    from tslib_ray.stages.downsample import m4_per_key_tier
+    b = df.assign(bucket_ts=df["ts"].dt.floor("h"))
+    b = b.sort_values(["k", "bucket_ts", "ts", "eid"], kind="mergesort")
+    grp = b.groupby(["k", "bucket_ts"])
+    ref = pd.DataFrame({
+        "vmin": grp["v"].min(), "vmax": grp["v"].max(),
+        "vfirst": grp["v"].first(), "vlast": grp["v"].last(),
+    }).reset_index().rename(columns={"k": "k"})
+    ref["bucket_ts"] = ref["bucket_ts"].astype("datetime64[us]")
+    for parts in (1, 7):
+        got = m4_per_key_tier(rd.from_pandas(df).repartition(parts),
+                              "k", "ts", "v", "1h", "eid").to_pandas()
+        got = got.sort_values(["k", "bucket_ts"], kind="mergesort") \
+            .reset_index(drop=True)
+        got["bucket_ts"] = got["bucket_ts"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(
+            got[["k", "bucket_ts", "vmin", "vmax", "vfirst", "vlast"]],
+            ref, check_dtype=False)
+
+
+def test_m4_first_last_tiebreak_on_equal_ts():
+    """Two rows with the SAME timestamp in one bucket: order_col decides
+    first/last, split across blocks so the merge path resolves the tie."""
+    from tslib_ray.stages.downsample import m4_per_key_tier
+    ts = pd.to_datetime(["2024-01-01 00:10:00"] * 2)
+    df = pd.DataFrame({"k": [1, 1], "ts": ts, "eid": [2, 1],
+                       "v": [7.0, 3.0]})
+    out = m4_per_key_tier(rd.from_pandas(df).repartition(2),
+                          "k", "ts", "v", "1h", "eid").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.vfirst, r.vlast, r.vmin, r.vmax) == (3.0, 7.0, 3.0, 7.0)
+
+
+def test_cohort_retention_partition_invariant(sf_small):
+    from tslib_ray.pipelines.queries import q_cohort_retention
+    import tslib_ray.stages.rollup as R
+    outs = []
+    for parts in (3, 64):
+        orig = R._add_part
+        try:
+            R._add_part = lambda ds, key, n, _o=orig: _o(ds, key, parts)
+            outs.append(q_cohort_retention(sf_small).to_pandas()
+                        .sort_values(["cohort_day", "day_offset"])
+                        .reset_index(drop=True))
+        finally:
+            R._add_part = orig
+    pd.testing.assert_frame_equal(outs[0], outs[1])

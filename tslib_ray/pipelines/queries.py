@@ -3669,6 +3669,90 @@ _CUSUM_SQL_ALERTS = f"""
     FROM s WHERE ABS(cs_scaled) > {_CUSUM_THRESHOLD} * 100 * n_u"""
 
 
+def q_m4_downsample_1h(sf_dir: str):
+    """M4 visualization downsample (Jugel et al., VLDB 2014): per (user,
+    1h bucket) min/max/first/last of value
+    (stages/downsample.py::m4_per_key_tier). MERGEABLE, unlike LTTB:
+    map-side partials bound the exchange at one row per (key, bucket) per
+    block — the fact table never shuffles. Every output value is an input
+    value (no interpolation), so the compare is bit-exact; first/last tie
+    order (ts, event_id) is shared with the SQL window."""
+    from ..stages.downsample import m4_per_key_tier
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    return m4_per_key_tier(ds, "user_id", "ts", "value", "1h", "event_id")
+
+
+_M4_SQL = """
+    WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                      ts, event_id, value FROM events),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id, bucket_ts
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, bucket_ts
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM b)
+    SELECT user_id, bucket_ts, MIN(value) AS vmin, MAX(value) AS vmax,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS vfirst,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS vlast
+    FROM r GROUP BY user_id, bucket_ts"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Signup-cohort retention matrix: users bucketed by first-seen day,
+    counted per (cohort_day, day_offset) of later activity. ONE user-hash
+    exchange co-locates each user's rows (first day + distinct activity
+    days resolve locally, so per-partition counts are EXACT partials),
+    then a tiny (days x offsets) aggregate merge. All-integer day
+    arithmetic — no float in the compare."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+    _DAY_US = 86_400_000_000
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype="datetime64[us]"),
+                "day_offset": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64)})
+        day = g["ts"].to_numpy().astype("datetime64[D]") \
+            .astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(new_u) - 1
+        first = day[np.flatnonzero(new_u)][seg]
+        off = (day - first) // _DAY_US
+        # distinct (user, cohort, offset): sorted, so dupes are adjacent
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        df = pd.DataFrame({"cohort_day": first[keep],
+                           "day_offset": off[keep]})
+        out = df.groupby(["cohort_day", "day_offset"], sort=False) \
+            .size().reset_index(name="n_users")
+        out["cohort_day"] = out["cohort_day"].astype("datetime64[us]")
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parted = R._add_part(ds, "user_id", 64)
+    partials = parted.groupby("_part").map_groups(
+        lambda g: per_part(g.drop(columns=["_part"])),
+        batch_format="pandas")
+    from ray.data.aggregate import Sum
+    out = partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users"))
+    return out
+
+
+_COHORT_SQL = """
+    WITH f AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                 date_diff('day', f.cohort_day,
+                           date_trunc('day', e.ts)) AS day_offset
+          FROM events e JOIN f USING (user_id))
+    SELECT cohort_day, day_offset, COUNT(*) AS n_users
+    FROM a GROUP BY cohort_day, day_offset"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3821,6 +3905,8 @@ QUERIES: dict = {
     "distinct_overlap": (q_distinct_overlap, _DISTINCT_OVERLAP_SQL),
     "ngram_by_lang": (q_ngram_by_lang, _NGRAM_BY_LANG_SQL),
     "cusum_alerts": (q_cusum_alerts, _CUSUM_SQL_ALERTS),
+    "m4_downsample_1h": (q_m4_downsample_1h, _M4_SQL),
+    "cohort_retention": (q_cohort_retention, _COHORT_SQL),
 }
 
 # ---------------------------------------------------------------------------

@@ -87,3 +87,108 @@ def lttb_per_key(ds: "rd.Dataset", key: str, ts_col: str, value_col: str,
 
     parted = _add_part(ds, key, n_parts)
     return parted.groupby("_part").map_groups(part_fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# M4 aggregation (Jugel et al., VLDB 2014): min/max/first/last per
+# (key, tier-bucket) — the error-free visualization downsample. Unlike
+# LTTB, M4 is MERGEABLE: map-side partials bound the exchange at one row
+# per (key, bucket) per block, then one narrow shuffle merges them, so the
+# fact table never moves.
+# ---------------------------------------------------------------------------
+
+def _m4_reduce(codes, uniques, bts, vmin, vmax, fts, feid, fval,
+               lts, leid, lval, key_name: str, final: bool) -> pa.Table:
+    """Merge M4 partial rows per (key, bucket): min/max reduce; first =
+    row with the smallest (first_ts, first_order), last = row with the
+    largest (last_ts, last_order). Two lexsorts share the same segment
+    order (both are (key, bucket)-major), one reduceat pass each."""
+    import pyarrow.compute as pc
+
+    if codes.size == 0:
+        empty_i = pa.array([], type=pa.int64())
+        cols = {key_name: pc.take(uniques, empty_i),
+                "bucket_ts": pa.array([], type=pa.timestamp("us")),
+                "vmin": pa.array([], type=pa.float64()),
+                "vmax": pa.array([], type=pa.float64())}
+        if final:
+            cols["vfirst"] = pa.array([], type=pa.float64())
+            cols["vlast"] = pa.array([], type=pa.float64())
+        else:
+            for nm in ("fts", "feid", "lts", "leid"):
+                cols[nm] = pa.array([], type=pa.int64())
+            cols["fval"] = pa.array([], type=pa.float64())
+            cols["lval"] = pa.array([], type=pa.float64())
+            cols = {c: cols[c] for c in
+                    (key_name, "bucket_ts", "vmin", "vmax", "fts", "feid",
+                     "fval", "lts", "leid", "lval")}
+        return pa.table(cols)
+
+    o1 = np.lexsort((feid, fts, bts, codes))
+    c1, b1 = codes[o1], bts[o1]
+    new = np.r_[True, (c1[1:] != c1[:-1]) | (b1[1:] != b1[:-1])]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], c1.size) - 1
+    o2 = np.lexsort((leid, lts, bts, codes))
+    cols = {
+        key_name: pc.take(uniques, pa.array(c1[starts])),
+        "bucket_ts": pa.array(b1[starts], type=pa.timestamp("us")),
+        "vmin": pa.array(np.minimum.reduceat(vmin[o1], starts),
+                         type=pa.float64()),
+        "vmax": pa.array(np.maximum.reduceat(vmax[o1], starts),
+                         type=pa.float64()),
+    }
+    if final:
+        cols["vfirst"] = pa.array(fval[o1][starts], type=pa.float64())
+        cols["vlast"] = pa.array(lval[o2][ends], type=pa.float64())
+    else:
+        cols.update({
+            "fts": pa.array(fts[o1][starts], type=pa.int64()),
+            "feid": pa.array(feid[o1][starts], type=pa.int64()),
+            "fval": pa.array(fval[o1][starts], type=pa.float64()),
+            "lts": pa.array(lts[o2][ends], type=pa.int64()),
+            "leid": pa.array(leid[o2][ends], type=pa.int64()),
+            "lval": pa.array(lval[o2][ends], type=pa.float64()),
+        })
+    return pa.table(cols)
+
+
+def m4_per_key_tier(ds: "rd.Dataset", key: str, ts_col: str,
+                    value_col: str, tier: str, order_col: str,
+                    n_parts: int = 64) -> "rd.Dataset":
+    """``(key, bucket_ts, vmin, vmax, vfirst, vlast)`` per (key,
+    tier-bucket); first/last ordered by ``(ts, order_col)`` so ties are
+    deterministic and the SQL mirror (row_number over the same order)
+    matches exactly — min/max/first/last never interpolate, so every
+    output value is an input value and the compare is bit-exact."""
+    from .rollup import TIER_UNIT, _dict_encode, floor_bucket
+    assert tier in TIER_UNIT, tier
+
+    def partial(b: pa.Table) -> pa.Table:
+        codes, uniques = _dict_encode(b[key])
+        bts = floor_bucket(b[ts_col], tier).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ts = b[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # each raw row is a degenerate partial
+        return _m4_reduce(codes, uniques, bts, v, v, ts, eid, v,
+                          ts, eid, v, key, final=False)
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        codes, uniques = _dict_encode(t[key])
+        bts = t["bucket_ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        g = {c: t[c].to_numpy(zero_copy_only=False) for c in
+             ("vmin", "vmax", "fts", "feid", "fval", "lts", "leid", "lval")}
+        return _m4_reduce(codes, uniques, bts, g["vmin"], g["vmax"],
+                          g["fts"], g["feid"], g["fval"], g["lts"],
+                          g["leid"], g["lval"], key, final=True)
+
+    partials = ds.select_columns([key, ts_col, order_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    parted = _add_part(partials, key, n_parts)
+    return parted.groupby("_part").map_groups(merge,
+                                              batch_format="pyarrow")
