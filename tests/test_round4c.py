@@ -281,3 +281,31 @@ def test_cohort_retention_partition_invariant(sf_small):
         finally:
             R._add_part = orig
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# dict_out tier output encoding
+# ---------------------------------------------------------------------------
+
+def test_tier_dict_out_values_identical_to_flat():
+    rng = np.random.default_rng(6)
+    n = 5_000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 50, size=n),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 86_400_000, size=n), "ms"),
+        "eid": np.arange(n),
+    })
+    from tslib_ray.stages.rollup import latency_tiers_from_events
+    outs = []
+    for dict_out in (False, True):
+        ds = rd.from_pandas(df).repartition(4)
+        out = latency_tiers_from_events(
+            ds, key="u", ts_col="ts", order_col="eid", out_key="conv_id",
+            n_parts=8, dict_out=dict_out).to_pandas()
+        # pandas renders dictionary columns as Categorical — normalize
+        for c in ("conv_id", "tier"):
+            out[c] = out[c].astype(str)
+        outs.append(out.sort_values(["conv_id", "tier", "bucket_ts"],
+                                    kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])

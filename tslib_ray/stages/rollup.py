@@ -223,17 +223,30 @@ def _check_tier_order(tiers) -> None:
 
 
 def _tier_tables(kcol: str, codes, uniques: pa.Array, ts_us, vals,
-                 tiers) -> pa.Table:
+                 tiers, dict_out: bool = False) -> pa.Table:
     """Vectorized tier cascade over MANY keys at once (one partition's worth
     of conversations). All grouping runs on dictionary codes + int64 buckets
     via np.lexsort + np.reduceat; output is a pyarrow Table built zero-copy
     from numpy (pandas blocks at 10^8-row scale cost pickle serialization
-    through the object store — measured 4x slower end-to-end)."""
+    through the object store — measured 4x slower end-to-end).
+
+    ``dict_out``: emit the key and tier columns as Arrow DICTIONARY arrays
+    instead of materialized strings. At 10^8 output points the flat key
+    column alone is gigabytes of string data that exists only to repeat a
+    per-partition vocabulary — dictionary output skips the string gather
+    entirely and cuts the bytes every downstream consumer moves (the
+    values are identical; pandas sees Categorical). Default OFF so
+    small-scale query schemas stay plain strings for the oracle compare."""
     import numpy as np
 
+    ktype = uniques.type if uniques is not None else pa.string()
+    if dict_out:
+        ktype = pa.dictionary(pa.int32(), ktype)
     empty_schema = pa.schema([
-        (kcol, uniques.type if uniques is not None else pa.string()),
-        ("tier", pa.string()), ("sum_value", pa.float64()),
+        (kcol, ktype),
+        ("tier", pa.dictionary(pa.int8(), pa.string()) if dict_out
+         else pa.string()),
+        ("sum_value", pa.float64()),
         ("min_value", pa.float64()), ("max_value", pa.float64()),
         ("n", pa.int64()), ("bucket_ts", pa.timestamp("us")),
         ("mean_value", pa.float64()),
@@ -280,9 +293,18 @@ def _tier_tables(kcol: str, codes, uniques: pa.Array, ts_us, vals,
         m = cur_code.size
         with np.errstate(invalid="ignore"):
             mean = sums / n
+        if dict_out:
+            karr = pa.DictionaryArray.from_arrays(
+                pa.array(cur_code.astype(np.int32)), uniques)
+            tarr = pa.DictionaryArray.from_arrays(
+                pa.array(np.full(m, tiers.index(tier), dtype=np.int8)),
+                pa.array(list(tiers), type=pa.string()))
+        else:
+            karr = pc.take(uniques, pa.array(cur_code))
+            tarr = pa.array(np.repeat(tier, m))
         tables.append(pa.table({
-            kcol: pc.take(uniques, pa.array(cur_code)),
-            "tier": pa.array(np.repeat(tier, m)),
+            kcol: karr,
+            "tier": tarr,
             "sum_value": pa.array(sums, from_pandas=True),
             "min_value": pa.array(mins, from_pandas=True),
             "max_value": pa.array(maxs, from_pandas=True),
@@ -333,7 +355,8 @@ def value_tiers_per_key(ds: "rd.Dataset", key: str, ts_col: str,
 def latency_tiers_from_events(ds: "rd.Dataset", key: str = "user_id",
                               ts_col: str = "ts", order_col: str = "event_id",
                               tiers=TIERS, out_key: str | None = "conv_id",
-                              n_parts: int = 64) -> "rd.Dataset":
+                              n_parts: int = 64,
+                              dict_out: bool = False) -> "rd.Dataset":
     """Flagship fused path: hash-bucket shuffle -> per-partition vectorized
     (lexsort by (key-code, ts, order) -> per-key latency via masked diff ->
     full tier cascade). One shuffle total; Arrow in/out; UDF cost amortized
@@ -348,7 +371,7 @@ def latency_tiers_from_events(ds: "rd.Dataset", key: str = "user_id",
         if len(t) == 0:
             return _tier_tables(kcol, None, pa.array([], type=pa.string()),
                                 np.empty(0, dtype=np.int64), np.empty(0),
-                                list(tiers))
+                                list(tiers), dict_out=dict_out)
         codes, uniques = _dict_encode(t[key])
         ts_raw = t[ts_col].cast(pa.int64()).to_numpy()
         order = np.lexsort((t[order_col].to_numpy(zero_copy_only=False),
@@ -366,7 +389,8 @@ def latency_tiers_from_events(ds: "rd.Dataset", key: str = "user_id",
             uniques = pc.binary_join_element_wise(
                 pa.array(np.repeat("c", len(uniques))),
                 uniques.cast(pa.string()), pa.scalar(""))
-        return _tier_tables(kcol, codes, uniques, ts_us, lat, list(tiers))
+        return _tier_tables(kcol, codes, uniques, ts_us, lat, list(tiers),
+                            dict_out=dict_out)
 
     parted = _add_part(ds, key, n_parts)
     return parted.groupby("_part").map_groups(
