@@ -184,14 +184,22 @@ def _bloom_mask(ds: "rd.Dataset", key: str, bloom_ref, m_bits: int,
 def _exact_membership_filter(left: "rd.Dataset", key: str,
                              right: "rd.Dataset", right_key: str,
                              keep_members: bool,
-                             n_parts: int) -> "rd.Dataset":
+                             n_parts: int,
+                             left_schema: "pa.Schema | None" = None) -> "rd.Dataset":
     """Co-partitioned EXACT membership filter: keep left rows whose key
     does (``keep_members``) / does not appear in the right key set. Left
     rows and right keys are tagged, union'd and hash-exchanged ONCE on the
     key; each partition resolves membership with a vectorized ``np.isin``.
     The whole path stays ARROW — a pandas round-trip here would promote
     the null-padded int payload columns to float64 and silently corrupt
-    int64 values above 2^53 (ADVICE r03 #1)."""
+    int64 values above 2^53 (ADVICE r03 #1).
+
+    ``left_schema``: the caller can pass ``left``'s Arrow schema when it
+    knows one (a parquet read's schema is free metadata). Without it the
+    filter must call ``Dataset.schema()`` on the TRANSFORMED left stream,
+    which triggers a partial execution of everything upstream (the Bloom
+    build + mask, in bloom_semi/anti_join) that the union then re-runs —
+    one whole wasted pipeline pass at any scale."""
 
     def tag(b: pa.Table, flag: int, kcol: str) -> pa.Table:
         keys = b[kcol].cast(pa.int64())
@@ -206,14 +214,20 @@ def _exact_membership_filter(left: "rd.Dataset", key: str,
         batch_format="pyarrow")
     left_tagged = left.map_batches(
         lambda b: tag(b, 0, key), batch_format="pyarrow")
-    l_schema = left_tagged.schema()  # Ray Schema wrapper (names + types)
-    if l_schema is None:
-        # zero left rows flowed through tag(), so Ray cannot infer the
-        # tagged schema — an empty left stream filters to itself (empty),
-        # with the left schema preserved by upstream passes
-        return left
-    col_type = dict(zip(l_schema.names, l_schema.types))
-    payload_cols = [c for c in l_schema.names if c not in ("_k", "_d")]
+    if left_schema is not None:
+        # tag() prepends (_k, _d) and keeps every left column: the tagged
+        # schema is derivable without executing anything
+        col_type = dict(zip(left_schema.names, left_schema.types))
+        payload_cols = list(left_schema.names)
+    else:
+        l_schema = left_tagged.schema()  # triggers upstream execution
+        if l_schema is None:
+            # zero left rows flowed through tag(), so Ray cannot infer the
+            # tagged schema — an empty left stream filters to itself
+            # (empty), with the left schema preserved by upstream passes
+            return left
+        col_type = dict(zip(l_schema.names, l_schema.types))
+        payload_cols = [c for c in l_schema.names if c not in ("_k", "_d")]
 
     def pad_right(b: pa.Table) -> pa.Table:
         n = len(b)
@@ -249,10 +263,15 @@ def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
     exchange ``ids_difference`` uses. Only Bloom SURVIVORS ever shuffle;
     at a 1% false-positive rate the exchange is |match| + 0.01|ds| rows
     instead of |ds| + |right|."""
+    try:
+        schema = ds.schema()  # free for parquet reads (file metadata)
+    except Exception:
+        schema = None
     bloom_ref = build_bloom(right, right_key, m_bits)
     survivors = _bloom_mask(ds, key, bloom_ref, m_bits, want_hit=True)
     return _exact_membership_filter(survivors, key, right, right_key,
-                                    keep_members=True, n_parts=n_parts)
+                                    keep_members=True, n_parts=n_parts,
+                                    left_schema=schema)
 
 
 def bloom_anti_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
@@ -265,9 +284,14 @@ def bloom_anti_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",
     exactly with the co-partitioned set test, and the verified-absent
     (false-positive) rows join the output. At 100 TB the exchange is
     bounded by the match volume, not |ds| + |right|."""
+    try:
+        schema = ds.schema()  # free for parquet reads (file metadata)
+    except Exception:
+        schema = None
     bloom_ref = build_bloom(right, right_key, m_bits)
     misses = _bloom_mask(ds, key, bloom_ref, m_bits, want_hit=False)
     hits = _bloom_mask(ds, key, bloom_ref, m_bits, want_hit=True)
     fp = _exact_membership_filter(hits, key, right, right_key,
-                                  keep_members=False, n_parts=n_parts)
+                                  keep_members=False, n_parts=n_parts,
+                                  left_schema=schema)
     return misses.union(fp)
