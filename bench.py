@@ -52,6 +52,7 @@ def run_benchmarks() -> dict:
     _tune_context(ctx)
 
     import ray.data as rd
+    from tslib_ray.sources.reader import read_parquet_clean
     from tslib_ray.pipelines.queries import QUERIES
 
     # warm-up: one untimed headline run spawns the Ray worker pool and warms
@@ -61,7 +62,7 @@ def run_benchmarks() -> dict:
     res = QUERIES[headline][0](SF_DIR)
     if hasattr(res, "to_pandas"):
         res.to_pandas()
-    rows_in = rd.read_parquet(f"{SF_DIR}/events.parquet").count()
+    rows_in = read_parquet_clean(f"{SF_DIR}/events.parquet").count()
 
     timings: dict[str, float] = {}
 
@@ -228,9 +229,10 @@ def run_headline_synth() -> dict:
     ctx.read_op_min_num_blocks = int(
         os.environ.get("GRAFT_SCALING_BLOCKS", "256"))
     import ray.data as rd
+    from tslib_ray.sources.reader import read_parquet_clean
     from tslib_ray.stages import rollup as R
 
-    rows_in = rd.read_parquet(SCALING_PATH).count()  # warm cache + workers
+    rows_in = read_parquet_clean(SCALING_PATH).count()  # warm cache + workers
     # partition sizing (measured round 3, BASELINE.md): ~225k rows per hash
     # bucket balances the reduce stage best at high parallelism (at 223M
     # rows / 32 cpus: 248 parts -> 16.4s, 495 -> 13.8s, 990 -> 12.1s,
@@ -254,7 +256,7 @@ def run_headline_synth() -> dict:
         return b.drop_columns(["conv_id"]).append_column("conv_int", key)
 
     def pipeline():
-        ds = rd.read_parquet(SCALING_PATH,
+        ds = read_parquet_clean(SCALING_PATH,
                              columns=["conv_id", "turn_idx", "ts"])
         ds = ds.map_batches(parse_key, batch_format="pyarrow")
         # dict_out: the 180M-point output repeats a 4.8M-conversation
@@ -416,6 +418,7 @@ def run_docs_scale() -> dict:
     ctx.enable_progress_bars = False
     _tune_context(ctx)
     import ray.data as rd
+    from tslib_ray.sources.reader import read_parquet_clean
     from tslib_ray.sources.documents import synth_documents
     from tslib_ray.stages.dedup import dedup_exact_ids, dedup_minhash
     from tslib_ray.stages.text import (fingerprint, quality_score,
@@ -423,7 +426,7 @@ def run_docs_scale() -> dict:
 
     if not (os.path.isdir(DOCS_PATH) and os.listdir(DOCS_PATH)):
         synth_documents(DOCS_N).write_parquet(DOCS_PATH)
-    docs = rd.read_parquet(DOCS_PATH)
+    docs = read_parquet_clean(DOCS_PATH)
     n_docs = docs.count()  # warm workers + page cache
 
     def timed(fn, consume="count"):
@@ -437,18 +440,18 @@ def run_docs_scale() -> dict:
         return round(best[0], 2), int(best[1])
 
     t_exact, n_exact = timed(
-        lambda: dedup_exact_ids(rd.read_parquet(DOCS_PATH)))
-    t_text, _ = timed(lambda: text_stats(rd.read_parquet(DOCS_PATH)))
-    t_q, _ = timed(lambda: quality_score(rd.read_parquet(DOCS_PATH),
+        lambda: dedup_exact_ids(read_parquet_clean(DOCS_PATH)))
+    t_text, _ = timed(lambda: text_stats(read_parquet_clean(DOCS_PATH)))
+    t_q, _ = timed(lambda: quality_score(read_parquet_clean(DOCS_PATH),
                                          concurrency=NUM_CPUS // 2))
-    t_fp, _ = timed(lambda: fingerprint(rd.read_parquet(DOCS_PATH)))
-    t_tok, _ = timed(lambda: token_count(rd.read_parquet(DOCS_PATH),
+    t_fp, _ = timed(lambda: fingerprint(read_parquet_clean(DOCS_PATH)))
+    t_tok, _ = timed(lambda: token_count(read_parquet_clean(DOCS_PATH),
                                          concurrency=NUM_CPUS // 2))
     t_mh, n_mh = timed(lambda: dedup_minhash(
-        rd.read_parquet(DOCS_PATH), num_partitions=NUM_CPUS // 2))
+        read_parquet_clean(DOCS_PATH), num_partitions=NUM_CPUS // 2))
     from tslib_ray.stages.text import repetition_score, tfidf_topk
-    t_rep, _ = timed(lambda: repetition_score(rd.read_parquet(DOCS_PATH)))
-    t_tfidf, _ = timed(lambda: tfidf_topk(rd.read_parquet(DOCS_PATH)))
+    t_rep, _ = timed(lambda: repetition_score(read_parquet_clean(DOCS_PATH)))
+    t_tfidf, _ = timed(lambda: tfidf_topk(read_parquet_clean(DOCS_PATH)))
 
     def cluster_dedup():
         # end-to-end near-dup CLUSTERS: LSH pairs -> distributed verify ->
@@ -456,7 +459,7 @@ def run_docs_scale() -> dict:
         from tslib_ray.stages.dedup import (minhash_lsh_pairs,
                                             verify_pairs_jaccard)
         from tslib_ray.stages.graph import connected_components
-        docs_ds = rd.read_parquet(DOCS_PATH)
+        docs_ds = read_parquet_clean(DOCS_PATH)
         pairs = minhash_lsh_pairs(docs_ds)
         edges = verify_pairs_jaccard(docs_ds, pairs, threshold=0.8,
                                      num_partitions=NUM_CPUS // 2,

@@ -227,7 +227,9 @@ def test_tfidf_min_df_drops_rare_terms():
 
 def test_tfidf_broadcast_size_assert_fires():
     from tslib_ray.stages.text import tfidf_topk
-    with pytest.raises(AssertionError, match="min_df"):
+    # ValueError, not AssertionError: `python -O` strips asserts, which
+    # would silently disable the cap at scale (ADVICE r04)
+    with pytest.raises(ValueError, match="min_df"):
         tfidf_topk(_toy_docs(), max_broadcast_mb=1e-9).to_pandas()
 
 
@@ -451,9 +453,13 @@ def test_every_registry_query_has_an_oracle():
 
 
 def test_registry_front_window_has_never_verified_queries_first():
-    """The driver checks the FIRST 50 entries; keep the front window free of
-    the triple-verified r03 block so rounds 2-4 jointly cover 100%."""
-    from tslib_ray.pipelines.queries import QUERIES, _ROUND4_FRONT
+    """The driver checks the FIRST 50 entries; round 5 leads with the six
+    never-verified round-4c queries and ALSO aliases them at positions
+    57-62 so a shifted window still produces a row for each."""
+    from tslib_ray.pipelines.queries import (QUERIES, _NEVER_VERIFIED,
+                                             _ROUND5_FRONT)
     names = list(QUERIES)
-    assert names[:len(_ROUND4_FRONT)] == _ROUND4_FRONT
+    assert names[:len(_ROUND5_FRONT)] == _ROUND5_FRONT
+    assert names[:6] == _NEVER_VERIFIED
+    assert names[56:62] == [f"{k}_w2" for k in _NEVER_VERIFIED]
     assert len(names) == len(set(names))

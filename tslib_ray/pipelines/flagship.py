@@ -25,6 +25,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..sources.reader import read_parquet_clean
 from ..sources.transcripts import transcripts_from_events
 from ..stages import rollup as R
 from ..stages.encode import encode_tiles, encode_tiles_grouped
@@ -81,7 +82,7 @@ def run_resumable(input_files: list[str], out_dir: str, key: str = "user_id",
             continue
         t1 = time.time()
         shutil.rmtree(path, ignore_errors=True)  # crashed partial write
-        ds = rd.read_parquet(files, columns=[key, ts_col, value_col])
+        ds = read_parquet_clean(files, columns=[key, ts_col, value_col])
         partial = ds.map_batches(
             lambda b: R._partial_batch(b, [key], ts_col, value_col, "1m"),
             batch_format="pyarrow").materialize()
@@ -105,8 +106,8 @@ def run_resumable(input_files: list[str], out_dir: str, key: str = "user_id",
             shutil.rmtree(path, ignore_errors=True)
             if finer is None:
                 finer = (_merge_partials(
-                    rd.read_parquet(os.path.join(out_dir, "partials")), key)
-                    if tier == "1m" else rd.read_parquet(
+                    read_parquet_clean(os.path.join(out_dir, "partials")), key)
+                    if tier == "1m" else read_parquet_clean(
                         os.path.join(out_dir, f"tiers/{_finer_of(tier)}")))
             pts = (finer if tier == "1m"
                    else R.cascade(finer, [key], tier)).materialize()
@@ -126,14 +127,14 @@ def run_resumable(input_files: list[str], out_dir: str, key: str = "user_id",
             # whole-key grouped encode: tile boundaries depend only on the
             # data (never on batch/block layout), so tile content_hashes are
             # reproducible across runs — required for the resume-lineage test
-            pts_disk = rd.read_parquet(path)
+            pts_disk = read_parquet_clean(path)
             tiles = encode_tiles_grouped(pts_disk, [key], tier).materialize()
             tiles.write_parquet(os.path.join(out_dir, tile_part))
             fp = dataset_fingerprint(tiles, ts_col="tile_start_ts")
             man.mark(tile_part, rows=fp["rows"], inputs=[path],
                      content_hash=fp["content_hash"], min_ts=fp["min_ts"],
                      max_ts=fp["max_ts"], wall_s=time.time() - t1)
-        finer = rd.read_parquet(path)
+        finer = read_parquet_clean(path)
     return {"shards": len(shards), "skipped_shards": skipped,
             "tiers": tiers, "wall_s": time.time() - t0}
 
@@ -181,7 +182,7 @@ def incremental_rollup_1m(sf_dir: str, key: str = "user_id",
         part = f"partials/shard={which}"
         if man.done(part):
             return
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+        ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                              columns=["event_id", key, ts_col, value_col])
         partial = ds.map_batches(
             lambda b, w=which: R._partial_batch(
@@ -201,7 +202,7 @@ def incremental_rollup_1m(sf_dir: str, key: str = "user_id",
     for which in ("base", "delta"):
         write_shard_partials(which)
     merged = R.merge_partials_deterministic(
-        rd.read_parquet(os.path.join(out_dir, "partials")), [key])
+        read_parquet_clean(os.path.join(out_dir, "partials")), [key])
     return merged
 
 
@@ -210,7 +211,7 @@ def flagship_from_events(sf_dir: str, tier: str = "1m") -> "rd.Dataset":
     tier points, fused into one shuffle (rollup.latency_tiers_from_events)."""
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id"])
     pts = R.latency_tiers_from_events(ds, tiers=(tier,))
     return pts.map_batches(

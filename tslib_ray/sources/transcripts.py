@@ -194,8 +194,10 @@ def transcripts_from_events(sf_dir: str, columns=_FULL_COLS,
     event_id/ts/user_id) to keep wide payload columns out of the shuffle
     when downstream only needs the derived numerics."""
     from ..stages.rollup import _add_part
+    from .reader import read_parquet_clean
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=list(columns))
     parted = _add_part(ds, "user_id", n_parts)
     return parted.groupby("_part").map_groups(
         lambda g: _derive_transcript_part(g.drop(columns=["_part"])),

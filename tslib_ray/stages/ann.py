@@ -79,8 +79,18 @@ def knn_brute(embeddings: "rd.Dataset", queries: np.ndarray, k: int = 10,
 def train_centroids(embeddings: "rd.Dataset", n_centroids: int = 16,
                     sample_frac: float = 0.1, iters: int = 3,
                     vec_col: str = "embedding", seed: int = 5,
-                    max_sample_rows: int | None = None) -> np.ndarray:
+                    max_sample_rows: int | None = None,
+                    refine: str = "full") -> np.ndarray:
     """Seeded k-means with a BOUNDED driver footprint (VERDICT r02 item 1).
+
+    ``refine="full"`` (default) runs each Lloyd pass as a distributed
+    ``map_batches`` over the whole dataset; ``refine="sample"`` runs the
+    Lloyd passes on the (bounded) driver-held init sample instead — the
+    FAISS IVF training protocol: quantizer quality needs only a few
+    hundred points per centroid, and an index consumer should not pay
+    ``iters`` extra full-corpus passes for it. Sample refinement costs
+    ZERO additional dataset passes and is deterministic (single-threaded
+    numpy over the seeded sample).
 
     Two scale-safe pieces:
 
@@ -120,6 +130,18 @@ def train_centroids(embeddings: "rd.Dataset", n_centroids: int = 16,
         chosen.append(nxt)
         max_sim = np.maximum(max_sim, m @ m[nxt])
     cent = m[chosen].copy()
+
+    if refine == "sample":
+        for _ in range(iters):
+            assign = (m @ cent.T).argmax(axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=n_centroids)
+            nz = cnt > 0
+            new_cent = cent.copy()
+            new_cent[nz] = sums[nz] / cnt[nz][:, None]
+            cent = _normalize_rows(new_cent)
+        return cent
 
     narrow = embeddings.select_columns([vec_col])
     for _ in range(iters):
@@ -168,8 +190,17 @@ def knn_ivf(embeddings: "rd.Dataset", queries: np.ndarray, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             seed: int = 5) -> pd.DataFrame:
     """IVF top-k: assign vectors to centroid partitions, search only the
-    query's ``n_probe`` nearest partitions."""
-    cent = train_centroids(embeddings, n_centroids, vec_col=vec_col, seed=seed)
+    query's ``n_probe`` nearest partitions.
+
+    Training uses sample-refined Lloyd (``refine="sample"``), so the whole
+    query costs TWO dataset passes — the bounded init sample and the fused
+    assign+local-search — instead of 2 + ``iters`` (knn_ivf regressed
+    3.2->5.4 s in the round-4 driver window on exactly those fixed
+    full-corpus training passes; VERDICT r04 item 5). Probe-all results
+    are exact regardless of centroid placement; partial-probe recall is
+    pytest-bounded on clustered data."""
+    cent = train_centroids(embeddings, n_centroids, vec_col=vec_col,
+                           seed=seed, refine="sample")
     cent_ref = ray.put(cent)
     q = _normalize_rows(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)

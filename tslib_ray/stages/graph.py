@@ -478,7 +478,10 @@ def connected_components_stars(edges: "rd.Dataset", nodes: "rd.Dataset",
             batch_format="pyarrow")
 
     e = edges.map_batches(canon, batch_format="pyarrow").materialize()
-    if e.count() <= small_graph_rows:
+    # gate on edges AND nodes (matching connected_components): a sparse
+    # graph over a corpus-scale node set (10^9 mostly-unique docs) must
+    # not funnel every node block into one task (ADVICE r04)
+    if e.count() + nodes.count() <= small_graph_rows:
         # same single-task escape hatch as connected_components — the
         # star rounds only pay off past one worker's heap
         ref = _small_cc_task(nodes.select_columns([node_col])
@@ -487,14 +490,44 @@ def connected_components_stars(edges: "rd.Dataset", nodes: "rd.Dataset",
         return rd.from_arrow_refs([ref])
     if n_parts is None:
         n_parts = int(min(64, max(4, e.count() // 200_000)))
-    from ray.data.aggregate import Count, Sum
+
+    def _edge_digest(ds: "rd.Dataset") -> tuple:
+        """Collision-resistant fixpoint probe: (count, wrapped sum of
+        per-row 64-bit mixes of (u, v)). Unlike hash-min's label sum, the
+        star edge set is NOT monotone, so (count, sum(u), sum(v)) could
+        collide between two different edge sets and end the loop early
+        with silently wrong labels (ADVICE r04). One O(8B) row per block
+        reaches the driver — bounded by block count, not edges."""
+        C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+
+        def part(b: pa.Table) -> pa.Table:
+            u = b["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = b["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            x = u * C1 + v * C2
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            with np.errstate(over="ignore"):
+                h = np.bitwise_xor.reduce(x) if x.size else np.uint64(0)
+                s = x.sum(dtype=np.uint64)
+            return pa.table({"n": pa.array([len(b)], pa.int64()),
+                             "h": pa.array([int(h)], pa.uint64()),
+                             "s": pa.array([int(s)], pa.uint64())})
+
+        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+        n = sum(r["n"] for r in rows)
+        hx = 0
+        sx = 0
+        for r in rows:
+            hx ^= int(r["h"])
+            sx = (sx + int(r["s"])) & 0xFFFFFFFFFFFFFFFF
+        return (n, hx, sx)
+
     probe = None
     for _ in range(max_rounds):
         e = star(e, large=True, parts=n_parts)
         e = star(e, large=False, parts=n_parts).materialize()
-        agg = e.aggregate(Count(), Sum("u", alias_name="su"),
-                          Sum("v", alias_name="sv"))
-        cur = (agg["count()"], agg["su"], agg["sv"])
+        cur = _edge_digest(e)
         if cur == probe:
             break
         probe = cur

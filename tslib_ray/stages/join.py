@@ -181,6 +181,12 @@ def _bloom_mask(ds: "rd.Dataset", key: str, bloom_ref, m_bits: int,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+SMALL_MEMBERSHIP_ROWS = 2_000_000  # survivors+keys below this resolve in
+# one task (narrow rows, <=~50 MB) — the dedup.SMALL_VERIFY_PAIRS /
+# graph._small_cc_task gate family: at driver scale the keyed exchange is
+# pure fixed cost; above the gate the co-partitioned path runs unchanged.
+
+
 def _exact_membership_filter(left: "rd.Dataset", key: str,
                              right: "rd.Dataset", right_key: str,
                              keep_members: bool,
@@ -229,13 +235,42 @@ def _exact_membership_filter(left: "rd.Dataset", key: str,
         col_type = dict(zip(l_schema.names, l_schema.types))
         payload_cols = [c for c in l_schema.names if c not in ("_k", "_d")]
 
+    anchor = pa.table({c: pa.array([], type=col_type[c])
+                       for c in payload_cols})
+
+    # ---- size-gated single-task resolve (bounded driver-free pull): the
+    # tagged streams are narrow (key + payload) and, below the gate, fit
+    # one worker's heap — the keyed exchange is pure fixed cost there.
+    left_mat = left_tagged.materialize()
+    right_mat = right_keys.materialize()
+    if left_mat.count() + right_mat.count() <= SMALL_MEMBERSHIP_ROWS:
+
+        @ray.remote
+        def resolve(lrefs, rrefs) -> pa.Table:
+            lts = [t for t in ray.get(list(lrefs)) if t.num_rows]
+            rts = [t for t in ray.get(list(rrefs)) if t.num_rows]
+            if not lts:
+                return anchor
+            lt = pa.concat_tables(lts)
+            rk = (np.unique(np.concatenate(
+                [t["_k"].to_numpy(zero_copy_only=False) for t in rts]))
+                if rts else np.array([], dtype=np.int64))
+            k = lt["_k"].to_numpy(zero_copy_only=False)
+            member = np.isin(k, rk)
+            keep = member if keep_members else ~member
+            return lt.filter(pa.array(keep)).select(payload_cols)
+
+        ref = resolve.remote(left_mat.to_arrow_refs(),
+                             right_mat.to_arrow_refs())
+        return rd.from_arrow(anchor).union(rd.from_arrow_refs([ref]))
+
     def pad_right(b: pa.Table) -> pa.Table:
         n = len(b)
         for c in payload_cols:
             b = b.append_column(c, pa.nulls(n, type=col_type[c]))
         return b
 
-    both = left_tagged.union(right_keys.map_batches(
+    both = left_mat.union(right_mat.map_batches(
         pad_right, batch_format="pyarrow"))
 
     def verify(t: pa.Table) -> pa.Table:
@@ -248,9 +283,16 @@ def _exact_membership_filter(left: "rd.Dataset", key: str,
 
     from .rollup import _add_part
     parted = _add_part(both, "_k", n_parts)
-    return parted.groupby("_part").map_groups(
+    out = parted.groupby("_part").map_groups(
         lambda g: verify(g.drop_columns(["_part"])),
         batch_format="pyarrow")
+    # Schema anchor (same pattern as tdigest._with_schema_anchor): when
+    # ZERO rows flow through (empty build side prunes everything, or an
+    # empty left stream), groupby().map_groups() yields no blocks and the
+    # output Dataset loses its schema entirely. Union one typed zero-row
+    # block in front so downstream .schema()/Arrow consumers always see
+    # the left payload columns.
+    return rd.from_arrow(anchor).union(out)
 
 
 def bloom_semi_join(ds: "rd.Dataset", key: str, right: "rd.Dataset",

@@ -51,15 +51,40 @@ def payload_words(media_id: int, n_words: int, seed: int) -> np.ndarray:
                        + np.int64(media_id) * 1_000_003 + seed)
 
 
+def _features_matrix(n: int, lengths: np.ndarray, row_of: np.ndarray,
+                     flat: np.ndarray, within: np.ndarray):
+    """(entropy, stride-mean) per row — the ONE kernel both the actor stage
+    and the sequential oracle call, so summation order is bit-identical on
+    both sides (ADVICE r04: the oracle's compacted nonzero-bin sum vs the
+    batched 256-bin sum can differ in the last ulp and flip the round(.,6)
+    compare on knife-edge payloads).
+
+    ``lengths``: per-row byte counts; ``row_of``: row index per byte;
+    ``flat``: the gathered uint8 bytes; ``within``: byte position within
+    its row."""
+    hist = np.bincount(row_of * 256 + flat.astype(np.int64),
+                       minlength=n * 256).reshape(n, 256).astype(np.float64)
+    p = hist / np.maximum(lengths, 1)[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = -np.where(p > 0, p * np.log2(p, where=p > 0), 0.0).sum(1)
+    stride = within % 8 == 0
+    ssum = np.bincount(row_of[stride], weights=flat[stride], minlength=n)
+    scnt = np.maximum(np.bincount(row_of[stride], minlength=n), 1)
+    smean = np.where(lengths > 0, ssum / scnt, 0.0)
+    return ent, smean
+
+
 def byte_features(buf: bytes) -> tuple[float, float, float]:
     """(n_bytes, byte-histogram entropy, 8-byte-stride mean) of a payload —
     the deterministic stand-in feature kernel, shared by the actor stage and
-    the sequential oracle."""
+    the sequential oracle. Delegates to :func:`_features_matrix` with n=1 so
+    the float op order matches the batched path exactly."""
     b = np.frombuffer(buf, dtype=np.uint8)
-    hist = np.bincount(b, minlength=256) / max(1, b.size)
-    nz = hist[hist > 0]
-    return (float(b.size), float(-(nz * np.log2(nz)).sum()),
-            float(b[::8].mean()) if b.size else 0.0)
+    ent, smean = _features_matrix(
+        1, np.array([b.size], dtype=np.int64),
+        np.zeros(b.size, dtype=np.int64), b,
+        np.arange(b.size, dtype=np.int64))
+    return (float(b.size), float(ent[0]), float(smean[0]))
 
 
 def _decode_image_stub(payload: bytes, media_type: str) -> np.ndarray:
@@ -88,7 +113,8 @@ class MediaFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
-        if not self.deterministic:
+        if not self.deterministic and n:  # empty blocks must pass through,
+            # not IndexError on payload[0] (ADVICE r04)
             _decode_image_stub(batch["payload"][0].as_py(),
                                batch["media_type"][0].as_py())
         # fully vectorized over the batch (VERDICT r03 item 5 — this was
@@ -109,19 +135,8 @@ class MediaFeatures:
         take = np.repeat(offs[:-1], lengths) + within  # offset-safe gather
         flat = data[take]
         row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
-        # per-row byte histogram -> entropy
-        hist = np.bincount(row_of * 256 + flat.astype(np.int64),
-                           minlength=n * 256).reshape(n, 256).astype(
-                               np.float64)
-        p = hist / np.maximum(lengths, 1)[:, None]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ent = -np.where(p > 0, p * np.log2(p, where=p > 0), 0.0).sum(1)
-        # per-row mean of every 8th byte
-        stride = within % 8 == 0
-        ssum = np.bincount(row_of[stride], weights=flat[stride],
-                           minlength=n)
-        scnt = np.maximum(np.bincount(row_of[stride], minlength=n), 1)
-        smean = np.where(lengths > 0, ssum / scnt, 0.0)
+        # shared kernel with the sequential oracle (bit-identical op order)
+        ent, smean = _features_matrix(n, lengths, row_of, flat, within)
         return batch.drop_columns(["payload"]).append_column(
             "n_bytes", pa.array(lengths.astype(np.float64))
         ).append_column(

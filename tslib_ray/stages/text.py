@@ -554,10 +554,12 @@ def tfidf_topk(docs: "rd.Dataset", text_col: str = "text",
     th_np = df_tbl["th"].to_numpy()
     df_np = df_tbl["df"].to_numpy()
     bcast_mb = (th_np.nbytes + df_np.nbytes) / 2 ** 20
-    assert bcast_mb <= max_broadcast_mb, (
-        f"df broadcast {bcast_mb:.0f} MiB exceeds max_broadcast_mb="
-        f"{max_broadcast_mb}; raise min_df (current {min_df}) to cut the "
-        "long df tail")
+    if bcast_mb > max_broadcast_mb:  # hard cap — NOT an assert, which
+        # `python -O` strips at exactly the scale this guard exists for
+        raise ValueError(
+            f"df broadcast {bcast_mb:.0f} MiB exceeds max_broadcast_mb="
+            f"{max_broadcast_mb}; raise min_df (current {min_df}) to cut "
+            "the long df tail")
     order = np.argsort(th_np)
     th_sorted = ray.put(th_np[order])
     df_sorted = ray.put(df_np[order])
