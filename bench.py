@@ -125,7 +125,9 @@ def run_benchmarks() -> dict:
                  "corr_qty_price", "mode_event_type", "lag_diff",
                  # round 4c
                  "heavy_hitters", "distinct_overlap", "ngram_by_lang",
-                 "cusum_alerts", "m4_downsample_1h", "cohort_retention"):
+                 "cusum_alerts", "m4_downsample_1h", "cohort_retention",
+                 # round 5
+                 "bpe_token_count"):
         timed(name)
 
     value = timings[headline]

@@ -282,3 +282,24 @@ def lttb_values(sf_dir: str = DRIVER_SF_DIR, n_out: int = 16) -> str:
         ["user_id", "event_id", "ts", "value"]]
     out["value"] = r6(out["value"].to_numpy())
     return values_sql(out)
+
+
+def bpe_token_values(sf_dir: str = DRIVER_SF_DIR) -> str:
+    """Sequential real-BPE token counts over the documents fixture via the
+    TRAINING-ORDER encoder (kernels/bpe.py::encode_word_seq — Sennrich's
+    formulation), deliberately a different algorithm shape from the greedy
+    lowest-rank encoder the distributed stage runs; equivalence of the two
+    on trained merge tables is itself property-tested in tests/."""
+    import json
+
+    from ..kernels.bpe import FIXTURE_PATH, count_tokens_seq
+    with open(FIXTURE_PATH) as f:
+        merges = [tuple(p) for p in json.load(f)["merges"]]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = pd.DataFrame({
+        "doc_id": docs["doc_id"].to_numpy(np.int64),
+        "n_tokens": np.asarray(count_tokens_seq(docs["text"], merges),
+                               dtype=np.int64),
+    })
+    return values_sql(out)

@@ -316,6 +316,19 @@ def _token_count_sql() -> str:
             f"FROM documents")
 
 
+def q_bpe_token_count(sf_dir: str):
+    """REAL byte-pair-encoding token counts per document against the
+    committed merge fixture (stages/text.py::BPETokenCounter — merge table
+    loaded once per actor, C-level pretoken extraction, per-unique-pretoken
+    memoized merge loop, segmented-sum rollup). Oracle: sequential
+    training-order encoder (oracles.bpe_token_values), an independent
+    algorithm shape. Upgrades `token_count`'s regex pretokens to real BPE
+    merges (VERDICT r04 item 8)."""
+    from ..stages.text import bpe_token_count
+    return bpe_token_count(_docs(sf_dir, ["doc_id", "text"])) \
+        .select_columns(["doc_id", "n_tokens"])
+
+
 def q_histogram_1h(sf_dir: str):
     """Mergeable per-(user, hour) histogram quantile sketch rows
     (stages/sketch.py) — the cascade-compatible percentile path. Bin
@@ -3880,6 +3893,10 @@ QUERIES: dict = {
     "compact_retention": (q_compact_retention, _COMPACT_SQL),
     "lttb_downsample": (q_lttb_downsample, _lttb_sql),
     "token_count": (q_token_count, _token_count_sql()),
+    "bpe_token_count": (q_bpe_token_count,
+                        lambda: __import__(
+                            "tslib_ray.pipelines.oracles",
+                            fromlist=["bpe_token_values"]).bpe_token_values()),
     "rolling_1h": (q_rolling_1h, _ROLLING_SQL),
     "normalize_value": (q_normalize_value, _NORMALIZE_SQL),
     "pricing_summary": (q_pricing_summary, _PRICING_SQL),
@@ -4028,6 +4045,8 @@ _NEVER_VERIFIED = [
 ]
 
 _ROUND5_FRONT = _NEVER_VERIFIED + [
+    # new in round 5 — never verified
+    "bpe_token_count",
     # code paths changed in round 5 — re-verify
     "bloom_semijoin", "antijoin_no_orders", "shipping_priority",
     "join_priority_flag", "knn_ivf", "semijoin_top_users",
@@ -4043,7 +4062,7 @@ _ROUND5_FRONT = _NEVER_VERIFIED + [
     "distinct_sample_1d", "rollup_1h_pop", "ewma_per_user", "ngram_top20",
     "compact_retention", "lttb_downsample", "token_count", "rolling_1h",
     "normalize_value", "pricing_summary", "top_customers", "dedup_exact",
-    "text_stats", "ann_top10", "gorilla_roundtrip_1h",
+    "text_stats", "ann_top10",
 ]
 assert len(_ROUND5_FRONT) == 50, len(_ROUND5_FRONT)
 
@@ -4059,5 +4078,6 @@ assert all(k in _ALL for k in _ROUND5_FRONT + _ROUND5_MID), \
 QUERIES = {k: _ALL[k] for k in _ROUND5_FRONT}
 QUERIES.update((k, _ALL[k]) for k in _ROUND5_MID)
 # window-hedge aliases (positions 57-62): identical callable + oracle
-QUERIES.update((f"{k}_w2", _ALL[k]) for k in _NEVER_VERIFIED)
+QUERIES.update((f"{k}_w2", _ALL[k])
+               for k in _NEVER_VERIFIED + ["bpe_token_count"])
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
