@@ -97,3 +97,31 @@ def test_stage_handles_nulls_and_empty_blocks(ray_session):
         .sort_values("doc_id")
     assert out["n_tokens"].tolist()[1] == 0
     assert out["n_tokens"].tolist()[0] > 0
+
+
+def test_interval_gate_parity_with_exchanged_plan(ray_session, monkeypatch):
+    """The size-gated single-task interval resolve must be bit-identical to
+    the bucket-exchanged plan (integer counts — no tolerance)."""
+    from tslib_ray.stages import interval as iv
+    rng = np.random.RandomState(3)
+    n_pts, n_rng = 5000, 300
+    base = 1_700_000_000_000_000
+    pts = pa.table({"ts": pa.array(base + rng.randint(0, 10**9, n_pts),
+                                   type=pa.int64())})
+    lo = base + rng.randint(0, 10**9, n_rng)
+    ranges = pa.table({"rid": pa.array(np.arange(n_rng), type=pa.int64()),
+                       "lo": pa.array(lo, type=pa.int64()),
+                       "hi": pa.array(lo + rng.randint(0, 60_000_000, n_rng),
+                                      type=pa.int64())})
+
+    def run():
+        return (iv.interval_count_join(
+            rd.from_arrow(pts), rd.from_arrow(ranges), "ts", "rid",
+            "lo", "hi", bucket_us=60_000_000, n_parts=8)
+            .to_pandas().sort_values("rid").reset_index(drop=True))
+
+    gated = run()
+    monkeypatch.setattr(iv, "SMALL_INTERVAL_ROWS", 0)
+    exchanged = run()
+    assert gated.equals(exchanged)
+    assert len(gated) > 0

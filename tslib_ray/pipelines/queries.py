@@ -2004,8 +2004,19 @@ def q_join_priority_flag(sf_dir: str):
     Data's native hash join (one exchange per side, co-partitioned
     aggregators), then map-side partial aggregation so only tiny
     (priority, flag) partials reach the final shuffle. Columns pruned at
-    the read on both sides."""
+    the read on both sides.
+
+    SIZE-GATED like shipping_priority (VERDICT r04 item 4): below the
+    ``_BCAST_JOIN_MAX_ROWS`` gate the (orderkey -> priority) attributes
+    become a broadcast lookup join — zero join pools, one map pass — since
+    at driver scale the native pool's ~2-3 s fixed actor spawn dominates
+    the 4 s wall. Above the gate (any real corpus fraction) the
+    co-partitioned native hash join runs unchanged; the gate proves the
+    build side fits before any driver pull. The (priority, flag) grouped
+    sums keep the same per-block-partial + Sum shape on both paths, so the
+    0.01-grid round argument below is unchanged."""
     from ray.data.aggregate import Sum
+    from ..stages.join import broadcast_lookup_join
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_returnflag",
                                   "l_extendedprice"])
@@ -2016,8 +2027,21 @@ def q_join_priority_flag(sf_dir: str):
     # derive the partition count from the cluster, capped for small runs
     import ray as _ray
     ncpu = int(_ray.cluster_resources().get("CPU", 4))
-    joined = li.join(od, "inner", num_partitions=max(2, ncpu // 2),
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    od_mat = od.materialize()
+    if od_mat.count() <= _BCAST_JOIN_MAX_ROWS:
+        tabs = [t for t in _ray.get(od_mat.to_arrow_refs()) if t.num_rows]
+        odt = (pa.concat_tables(tabs) if tabs else
+               pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_orderpriority": pa.array([], pa.string())}))
+        lookup = {
+            "o_orderkey": odt["o_orderkey"].to_numpy(zero_copy_only=False),
+            "o_orderpriority": odt["o_orderpriority"]
+            .to_numpy(zero_copy_only=False)}
+        joined = broadcast_lookup_join(li, "l_orderkey", lookup,
+                                       "o_orderkey")
+    else:
+        joined = li.join(od_mat, "inner", num_partitions=max(2, ncpu // 2),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
         out = b.group_by(["o_orderpriority", "l_returnflag"]).aggregate(

@@ -41,6 +41,10 @@ if TYPE_CHECKING:  # pragma: no cover
 
 from .rollup import _add_part
 
+SMALL_INTERVAL_ROWS = 2_000_000  # tagged narrow rows below which the
+# co-partition resolves in one task (~80 MB of 5x int64 columns); above,
+# the bucket-keyed exchange runs unchanged
+
 
 def _epoch_us(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     """Epoch-us int64 from either a timestamp (any unit) or an int column."""
@@ -135,7 +139,37 @@ def interval_count_join(points: "rd.Dataset", ranges: "rd.Dataset",
         return pa.table({range_id: pa.array(rid[is_range]),
                          out_count: pa.array(n.astype(np.int64))})
 
-    parted = _add_part(tagged, "_bucket", n_parts)
+    # ---- size-gated single-task resolve (the SMALL_MEMBERSHIP_ROWS /
+    # _small_cc_task gate family): below the gate the tagged stream is a
+    # few MB of narrow int64 rows and the bucket exchange + final Sum
+    # exchange are pure fixed cost. count_part() is partition-oblivious
+    # (dense codes are recomputed over whatever rows it sees) and the
+    # replica merge is an INTEGER sum, so the single-task result is
+    # bit-identical to the exchanged plan by construction.
+    import ray as _ray
+    tagged_mat = tagged.materialize()
+    if tagged_mat.count() <= SMALL_INTERVAL_ROWS:
+
+        @_ray.remote
+        def resolve(refs) -> pa.Table:
+            ts = [t for t in _ray.get(list(refs)) if t.num_rows]
+            if not ts:
+                return pa.table({range_id: pa.array([], type=pa.int64()),
+                                 out_count: pa.array([], type=pa.int64())})
+            part = count_part(pa.concat_tables(ts))
+            rid = part[range_id].to_numpy()
+            n = part[out_count].to_numpy()
+            uniq, inv = np.unique(rid, return_inverse=True)
+            tot = np.bincount(inv, weights=n).astype(np.int64)
+            return pa.table({range_id: pa.array(uniq),
+                             out_count: pa.array(tot)})
+
+        anchor = pa.table({range_id: pa.array([], type=pa.int64()),
+                           out_count: pa.array([], type=pa.int64())})
+        ref = resolve.remote(tagged_mat.to_arrow_refs())
+        return rd.from_arrow(anchor).union(rd.from_arrow_refs([ref]))
+
+    parted = _add_part(tagged_mat, "_bucket", n_parts)
     partials = parted.groupby("_part").map_groups(
         lambda t: count_part(t.drop_columns(["_part"])),
         batch_format="pyarrow")
