@@ -43,12 +43,13 @@ SQL_QUERIES = sorted(entrypoint.oracle_sql().keys())
 # fixtures — must be evaluated at that scale locally too
 _SF_MID_QUERIES = {"gap_fill_svd", "forecast_per_user", "incremental_denoise",
                    "lttb_downsample", "tdigest_quantile_1d",
-                   "tdigest_cascade_1h"}
+                   "tdigest_cascade_1h", "bpe_token_count"}
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
 def test_query_matches_oracle(name, sf_small, sf_mid):
-    sf = sf_mid if name in _SF_MID_QUERIES else sf_small
+    # _w2 window-hedge aliases share the base query's oracle scale
+    sf = sf_mid if name.removesuffix("_w2") in _SF_MID_QUERIES else sf_small
     ray_fn = entrypoint.queries()[name]
     sql = entrypoint.oracle_sql()[name]
     got = _canon(_to_pandas(ray_fn(sf)))

@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..sources.reader import read_parquet_clean
-from ..sources.transcripts import transcripts_from_events
+from ..sources.transcripts import (transcripts_from_events,
+                                   transcripts_map_only)
 from ..stages import rollup as R
 from ..stages.ann import knn_brute, knn_ivf, cosine_dedup, cosine_pairs_exact
 from ..stages.dedup import (dedup_exact_ids, dedup_minhash,
@@ -171,7 +172,11 @@ _LATENCY_SQL = """
 
 
 def q_rate_role_1h(sf_dir: str):
-    tr = transcripts_from_events(sf_dir)
+    """Per-(role, hour) turn rate. role is a pure row function of
+    event_type, so the derive is MAP-ONLY (sources/transcripts.py::
+    transcripts_map_only) — the only exchange is the tiny partial-count
+    shuffle inside rate_by."""
+    tr = transcripts_map_only(sf_dir)
     return R.rate_by(tr, "role", "ts", "1h")
 
 
@@ -726,8 +731,8 @@ _TIERS_ALL_SQL = """
 
 
 def q_rate_tool_1d(sf_dir: str):
-    tr = transcripts_from_events(
-        sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
+    """Map-only derive (see q_rate_role_1h)."""
+    tr = transcripts_map_only(sf_dir)
     return R.rate_by(tr, "tool", "ts", "1d")
 
 
@@ -978,8 +983,7 @@ def q_role_rollup_per_conv(sf_dir: str):
     """Per-(conversation, role, day) turn counts — the F6 ``n_by_role``
     continuous aggregate, via map-side pyarrow partials + one shuffle."""
     from ray.data.aggregate import Sum
-    tr = transcripts_from_events(
-        sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
+    tr = transcripts_map_only(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
         b = b.append_column("bucket_ts", R.floor_bucket(b["ts"], "1d"))
@@ -1548,12 +1552,40 @@ def q_semijoin_top_users(sf_dir: str):
         out = b.group_by(["user_id"]).aggregate([("user_id", "count")])
         return out.rename_columns(["user_id", "n"])
 
-    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Sum("n", alias_name="n"))
-    top = counts.sort(["n", "user_id"], descending=[True, False]) \
-        .limit(100).to_pandas()
-    filtered = broadcast_semi_join(ds, "user_id",
-                                   top["user_id"].to_numpy())
+    # Per-block partial counts are <= distinct-user rows each; below the
+    # broadcast gate ONE task merges them and takes the top-100 (integer
+    # counts, deterministic (n DESC, user ASC) ties — bit-stable), cutting
+    # the count exchange + sort/limit exchange to zero. Above the gate the
+    # keyed aggregate + distributed sort run unchanged (same family as
+    # _BCAST_JOIN_MAX_ROWS; at corpus scale distinct users may not fit one
+    # heap, and the gate proves it before any pull).
+    import ray as _ray
+    partials = ds.map_batches(count_partial,
+                              batch_format="pyarrow").materialize()
+    if partials.count() <= _BCAST_JOIN_MAX_ROWS:
+
+        @_ray.remote
+        def top100(refs) -> pa.Table:
+            ts = [t for t in _ray.get(list(refs)) if t.num_rows]
+            if not ts:
+                return pa.table({"user_id": pa.array([], pa.int64())})
+            t = pa.concat_tables(ts)
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(u, return_inverse=True)
+            tot = np.bincount(inv, weights=n).astype(np.int64)
+            order = np.lexsort((uniq, -tot))[:100]
+            return pa.table({"user_id": pa.array(np.sort(uniq[order]))})
+
+        top_keys = _ray.get(top100.remote(partials.to_arrow_refs()))
+        top_arr = top_keys["user_id"].to_numpy(zero_copy_only=False)
+    else:
+        counts = partials.groupby("user_id").aggregate(
+            Sum("n", alias_name="n"))
+        top = counts.sort(["n", "user_id"], descending=[True, False]) \
+            .limit(100).to_pandas()
+        top_arr = top["user_id"].to_numpy()
+    filtered = broadcast_semi_join(ds, "user_id", top_arr)
 
     def agg_partial(b: pa.Table) -> pa.Table:
         out = b.group_by(["user_id", "event_type"]).aggregate(

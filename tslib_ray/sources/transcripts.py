@@ -185,6 +185,38 @@ def _derive_transcript_part(g: pd.DataFrame) -> pd.DataFrame:
 _FULL_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def transcripts_map_only(sf_dir: str,
+                         value_cols: tuple = ()) -> "rd.Dataset":
+    """Map-only transcript projection: ``conv_id`` (``'c'||user_id``),
+    ``role`` and ``tool`` (fixed EVENT_ROLE_MAP of ``event_type``) are PURE
+    row functions of the events columns, so any pipeline that does not need
+    the ordering-derived fields (``turn_idx``, ``latency_s``) can skip the
+    conversation hash exchange entirely — at 100 TB that removes the single
+    all-to-all from e.g. a per-role rate rollup, leaving only the tiny
+    partial-aggregate exchange. ``value_cols`` names extra events columns to
+    pass through untouched."""
+    from .reader import read_parquet_clean
+
+    cols = ["user_id", "ts", "event_type", *value_cols]
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
+    role_map = {k: v[0] for k, v in EVENT_ROLE_MAP.items()}
+    tool_map = {k: v[1] for k, v in EVENT_ROLE_MAP.items()}
+
+    def fn(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        out = {"conv_id": pa.array(
+            ("c" + b["user_id"].to_pandas().astype(str)).to_numpy(object)),
+            "role": pa.array(et.map(role_map).fillna("user")
+                             .to_numpy(object)),
+            "tool": pa.array(et.map(tool_map).fillna("").to_numpy(object)),
+            "ts": b["ts"]}
+        for c in value_cols:
+            out[c] = b[c]
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def transcripts_from_events(sf_dir: str, columns=_FULL_COLS,
                             n_parts: int = 64) -> "rd.Dataset":
     """events.parquet -> transcript-shaped Dataset with derived ``turn_idx``
