@@ -915,7 +915,9 @@ def q_top_customers(sf_dir: str):
         df = df.sort_values(["revenue", "o_custkey"],
                             ascending=[False, True],
                             kind="mergesort").head(10)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # metadata-free: unhashable schemas defeat Ray's schema dedup
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     cand = rev.map_batches(local_top, batch_format="pyarrow").to_pandas()
     top = cand.sort_values(["revenue", "o_custkey"],

@@ -90,7 +90,12 @@ def heavy_hitters(ds: "rd.Dataset", item_col: str, k: int = 20,
                                    kind="mergesort").head(k)
         out = pd.concat([top, g[mark]])
         out["_g"] = np.int32(0)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # strip the pandas footer metadata from_pandas attaches: a schema
+        # WITH metadata is unhashable in this pyarrow and silently defeats
+        # Ray's block-schema dedup in every downstream reduce (VERDICT r04
+        # item 6 — same disease read_parquet_clean fixes at the read)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.drop_columns(["_g"]).to_pandas()

@@ -55,7 +55,8 @@ def _small_cc_task(node_refs: list, edge_refs: list, node_col: str,
             out = []
             for t in ts:
                 if isinstance(t, pd.DataFrame):
-                    t = pa.Table.from_pandas(t, preserve_index=False)
+                    t = pa.Table.from_pandas(t, preserve_index=False) \
+                        .replace_schema_metadata(None)
                 if t.num_rows and t.num_columns:
                     out.append(t)
             return out
