@@ -165,13 +165,17 @@ def matmul(a: "rd.Dataset", b: "rd.Dataset", const: float = 1.0,
         b.map_batches(lambda t: tag(t, 1, b_transpose),
                       batch_format="pyarrow"))
 
-    def partial(g: pd.DataFrame) -> pd.DataFrame:
+    def partial(g: pd.DataFrame) -> pa.Table:
+        # Arrow out (metadata-free): pandas output blocks would be
+        # re-converted by Ray at the next Arrow stage with a
+        # metadata-carrying (unhashable) schema, and pandas blocks pay
+        # pickle serialization through the object store
         A = g[g["side"] == 0]
         B = g[g["side"] == 1]
         if len(A) == 0 or len(B) == 0:
-            return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
-                                 "j": pd.Series([], dtype=np.int64),
-                                 "val": pd.Series([], dtype=np.float64)})
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "val": pa.array([], type=pa.float64())})
         ks, k_inv = np.unique(np.concatenate([A["k"].to_numpy(),
                                               B["k"].to_numpy()]),
                               return_inverse=True)
@@ -184,8 +188,9 @@ def matmul(a: "rd.Dataset", b: "rd.Dataset", const: float = 1.0,
         Bd[kb, cb] = B["val"].to_numpy()
         P = const * (Ad @ Bd)
         ii, jj = np.nonzero(P)
-        return pd.DataFrame({"i": rows[ii], "j": cols[jj],
-                             "val": P[ii, jj]})
+        return pa.table({"i": pa.array(rows[ii], type=pa.int64()),
+                         "j": pa.array(cols[jj], type=pa.int64()),
+                         "val": pa.array(P[ii, jj])})
 
     from .rollup import hash_merge
     partials = tagged.groupby("_part").map_groups(

@@ -80,6 +80,11 @@ def hash_merge(ds: "rd.Dataset", keys: Sequence[str], agg: dict,
     keys = list(keys)
 
     def add_part(b: pa.Table) -> pa.Table:
+        # defensive strip: a pandas-block upstream reaches here via Ray's
+        # from_pandas conversion, whose metadata-carrying schema is
+        # unhashable (see merge below) — make hash_merge clean regardless
+        # of the producer's block format
+        b = b.replace_schema_metadata(None)
         h = np.zeros(len(b), dtype=np.uint64)
         P = np.uint64(1099511628211)
         for k in keys:
@@ -87,9 +92,16 @@ def hash_merge(ds: "rd.Dataset", keys: Sequence[str], agg: dict,
         return b.append_column("_part",
                                pa.array((h % n_parts).astype(np.int32)))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop(columns=["_part"]).groupby(
+    def merge(g: pd.DataFrame) -> pa.Table:
+        out = g.drop(columns=["_part"]).groupby(
             keys, as_index=False, sort=True).agg(agg)
+        # Arrow out, metadata-free: pandas blocks entering a downstream
+        # Arrow reduce are converted by Ray via from_pandas, whose
+        # metadata-carrying schema is unhashable in this pyarrow and
+        # defeats block-schema dedup in every reduce task (VERDICT r04
+        # item 6; values identical — the groupby above did the math)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(merge, batch_format="pandas")
