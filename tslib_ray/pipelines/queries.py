@@ -2119,9 +2119,42 @@ def q_new_users_daily(sf_dir: str):
         out = b.group_by(["user_id"]).aggregate([("ts", "min")])
         return out.rename_columns(["user_id", "first_ts"])
 
-    firsts = ds.map_batches(min_partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Min("first_ts",
-                                          alias_name="first_ts"))
+    partials = ds.map_batches(min_partial,
+                              batch_format="pyarrow").materialize()
+    # Below the gate ONE task merges the (user, min-ts) partials and counts
+    # first-seen days — min over timestamps and integer counts are
+    # order-free, so the gated result is bit-identical to the two-exchange
+    # plan by construction (the SMALL_MEMBERSHIP_ROWS gate family). Above
+    # the gate (distinct users exceed one heap) the keyed aggregates run
+    # unchanged.
+    import ray as _ray
+    if partials.count() <= _BCAST_JOIN_MAX_ROWS:
+
+        @_ray.remote
+        def resolve(refs) -> pa.Table:
+            ts_ = [t for t in _ray.get(list(refs)) if t.num_rows]
+            if not ts_:
+                return pa.table({
+                    "day_ts": pa.array([], pa.timestamp("us")),
+                    "n_new": pa.array([], pa.int64())})
+            t = pa.concat_tables(ts_)
+            u = t["user_id"].to_numpy(zero_copy_only=False)
+            f = t["first_ts"].cast(pa.timestamp("us")) \
+                .cast(pa.int64()).to_numpy()
+            order = np.lexsort((f, u))
+            u, f = u[order], f[order]
+            first_of_user = np.r_[True, u[1:] != u[:-1]]
+            day_us = 86_400_000_000
+            days = (f[first_of_user] // day_us) * day_us
+            uniq, cnt = np.unique(days, return_counts=True)
+            return pa.table({
+                "day_ts": pa.array(uniq).cast(pa.timestamp("us")),
+                "n_new": pa.array(cnt.astype(np.int64))})
+
+        return rd.from_arrow_refs([resolve.remote(partials.to_arrow_refs())])
+
+    firsts = partials.groupby("user_id").aggregate(
+        Min("first_ts", alias_name="first_ts"))
 
     def day_partial(b: pa.Table) -> pa.Table:
         ts = pc.cast(b["first_ts"], pa.timestamp("us"))
