@@ -125,3 +125,33 @@ def test_interval_gate_parity_with_exchanged_plan(ray_session, monkeypatch):
     exchanged = run()
     assert gated.equals(exchanged)
     assert len(gated) > 0
+
+
+def test_hash_merge_arrow_out_matches_pandas_reference(ray_session):
+    """hash_merge now emits metadata-free Arrow blocks (the pandas-block
+    path re-entered Ray's from_pandas conversion, whose metadata-carrying
+    schema is unhashable and defeated block-schema dedup). Values, dtypes
+    and key sort-order must be exactly the pandas groupby reference."""
+    from tslib_ray.stages.rollup import hash_merge
+    rng = np.random.RandomState(11)
+    n = 20_000
+    t = pa.table({
+        "i": pa.array(rng.randint(0, 50, n), type=pa.int64()),
+        "j": pa.array(rng.randint(0, 30, n), type=pa.int64()),
+        "val": pa.array(np.round(rng.rand(n), 2)),
+        "cnt": pa.array(np.ones(n, dtype=np.int64))})
+    ds = rd.from_arrow(t).repartition(8)
+    out = hash_merge(ds, ["i", "j"], {"val": "sum", "cnt": "sum"})
+    got = out.to_pandas().sort_values(["i", "j"]).reset_index(drop=True)
+    want = t.to_pandas().groupby(["i", "j"], as_index=False,
+                                 sort=True).agg({"val": "sum",
+                                                 "cnt": "sum"})
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+    assert np.allclose(got["val"], want["val"], rtol=0, atol=1e-9)
+    assert got["i"].dtype == np.int64 and got["val"].dtype == np.float64
+    # schema must be metadata-free (hashable) on every output block
+    import ray as _ray
+    for ref in out.to_arrow_refs():
+        tb = _ray.get(ref)
+        assert tb.schema.metadata is None
+        hash(tb.schema)  # must not raise
